@@ -1,0 +1,64 @@
+"""Shared factory machinery: build module -> init params -> load weights -> wrap.
+
+Mirrors the reference's per-factory flow (torchvision_models.py:158-167
+``load_pretrained`` + per-file factories): assert the class count against the
+settings registry, materialize params, attach metadata, return the wrapped
+model.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .wrapper import PretrainedModel
+
+
+def default_input_shape(settings: Optional[dict], video: bool = False,
+                        frames: int = 16, fallback: int = 224):
+    """Channels-last dummy-input shape used to initialize params."""
+    size = list(settings['input_size']) if settings else None
+    if video:
+        if size and len(size) == 4:           # [C, T, H, W]
+            c, t, h, w = size
+        elif size:                             # [C, H, W]
+            c, (h, w), t = size[0], size[1:], frames
+        else:
+            c, t, h, w = 3, frames, 112, 112
+        return (1, t, h, w, c)
+    if size:
+        return (1, size[1], size[2], size[0])
+    return (1, fallback, fallback, 3)
+
+
+def init_variables(module, input_shape, seed: int = 0, **call_kwargs):
+    dummy = jnp.zeros(input_shape, jnp.float32)
+    variables = module.init(jax.random.key(seed), dummy, **call_kwargs)
+    # plain nested dicts (mutable) for param surgery in the wrapper
+    return jax.tree_util.tree_map(lambda x: x, dict(variables))
+
+
+def build_model(name: str, module, settings_map, num_classes: int,
+                pretrained: Optional[str], *, head_path: str = 'last_linear',
+                torch_renames: Optional[dict] = None,
+                converter_opts: Optional[dict] = None,
+                input_shape=None, video: bool = False,
+                init_kwargs: Optional[dict] = None,
+                seed: int = 0) -> PretrainedModel:
+    settings = None
+    if pretrained is not None:
+        settings = settings_map[name][pretrained]
+        assert num_classes == settings['num_classes'], (
+            f"num_classes should be {settings['num_classes']}, but is {num_classes}")
+    if input_shape is None:
+        input_shape = default_input_shape(settings, video=video)
+    variables = init_variables(module, input_shape, seed=seed,
+                               **(init_kwargs or {}))
+    if pretrained is not None:
+        from ..zoo import io as zoo_io
+        variables = zoo_io.load_pretrained_variables(
+            name, pretrained, settings, variables,
+            torch_renames=torch_renames, converter_opts=converter_opts)
+    return PretrainedModel(name, module, variables, settings, head_path=head_path)
