@@ -1,1 +1,2 @@
-# populated by transforms.utils (PIL oracle path) and transforms.fused (device path)
+from .utils import (Compose, Identity, LoadImage, LoadTransformImage,  # noqa: F401
+                    ToRange255, ToSpaceBGR, TransformImage)
