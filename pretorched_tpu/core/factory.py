@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from .wrapper import PretrainedModel
 
 
-def default_input_shape(settings: Optional[dict], video: bool = False,
+def default_input_shape(settings: Optional[dict] = None, video: bool = False,
                         frames: int = 16, fallback: int = 224):
     """Channels-last dummy-input shape used to initialize params."""
     size = list(settings['input_size']) if settings else None
@@ -35,7 +35,16 @@ def default_input_shape(settings: Optional[dict], video: bool = False,
 
 def init_variables(module, input_shape, seed: int = 0, **call_kwargs):
     dummy = jnp.zeros(input_shape, jnp.float32)
-    variables = module.init(jax.random.key(seed), dummy, **call_kwargs)
+    k1, k2 = jax.random.split(jax.random.key(seed))
+
+    # jit the init: XLA dead-code-eliminates the entire forward compute (the
+    # returned variables depend only on the rng), so initialization costs
+    # seconds of tracing instead of a full eager forward pass per model.
+    @jax.jit
+    def _init(k1, k2):
+        return module.init({'params': k1, 'dropout': k2}, dummy, **call_kwargs)
+
+    variables = _init(k1, k2)
     # plain nested dicts (mutable) for param surgery in the wrapper
     return jax.tree_util.tree_map(lambda x: x, dict(variables))
 
@@ -46,6 +55,7 @@ def build_model(name: str, module, settings_map, num_classes: int,
                 converter_opts: Optional[dict] = None,
                 input_shape=None, video: bool = False,
                 init_kwargs: Optional[dict] = None,
+                fallback_size: int = 224,
                 seed: int = 0) -> PretrainedModel:
     settings = None
     if pretrained is not None:
@@ -53,7 +63,8 @@ def build_model(name: str, module, settings_map, num_classes: int,
         assert num_classes == settings['num_classes'], (
             f"num_classes should be {settings['num_classes']}, but is {num_classes}")
     if input_shape is None:
-        input_shape = default_input_shape(settings, video=video)
+        input_shape = default_input_shape(settings, video=video,
+                                          fallback=fallback_size)
     variables = init_variables(module, input_shape, seed=seed,
                                **(init_kwargs or {}))
     if pretrained is not None:

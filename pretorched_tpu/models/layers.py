@@ -135,3 +135,14 @@ class Identity(nn.Module):
 
 def flatten(x):
     return x.reshape((x.shape[0], -1))
+
+
+def flatten_torch_order(x):
+    """Flatten a channels-last feature map in torch's CHW-major order.
+
+    Needed wherever a converted torch Linear consumes a flattened conv map
+    (alexnet/vgg classifier heads): torch flattens (C, H, W) contiguously, so
+    we transpose back before reshaping to keep converted weights bit-exact."""
+    if x.ndim == 4:
+        x = jnp.transpose(x, (0, 3, 1, 2))
+    return x.reshape((x.shape[0], -1))
