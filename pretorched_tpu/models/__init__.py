@@ -9,5 +9,11 @@ from .vgg import (vgg11, vgg11_bn, vgg13, vgg13_bn, vgg16, vgg16_bn,  # noqa: F4
 from .squeezenet import squeezenet1_0, squeezenet1_1  # noqa: F401
 from .densenet import densenet121, densenet161, densenet169, densenet201  # noqa: F401
 from .inception_v3 import inceptionv3  # noqa: F401
+from .fbresnet import (fbresnet18, fbresnet34, fbresnet50, fbresnet101,  # noqa: F401
+                       fbresnet152)
+from .cafferesnet import cafferesnet101  # noqa: F401
+from .senet import (se_resnet50, se_resnet101, se_resnet152,  # noqa: F401
+                    se_resnext50_32x4d, se_resnext101_32x4d, senet154)
+from .resnext import resnext101_32x4d, resnext101_64x4d  # noqa: F401
 
 from ..core.registry import MODEL_REGISTRY, model_names, pretrained_settings  # noqa: F401

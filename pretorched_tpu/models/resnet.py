@@ -56,6 +56,10 @@ class ResNet(nn.Module):
     layers: Sequence[int]
     num_classes: int = 1000
     width_per_stage: Sequence[int] = (64, 128, 256, 512)
+    conv_bias: bool = False         # FBResNet ports use bias=True (fbresnet.py:22-23)
+    stride_on: str = 'conv2'        # 'conv1' = caffe-style (cafferesnet.py:66-69)
+    stem_pool: str = 'pad'          # 'ceil' = caffe 3x3/2 pad0 ceil_mode pool
+    logits_pool: str = 'global'     # 'avg7' = fixed AvgPool2d(7) head
     dtype: Any = None
 
     @property
@@ -64,15 +68,16 @@ class ResNet(nn.Module):
 
     def _basic(self, x, planes, stride, downsample, prefix, train):
         identity = x
-        out = conv2d(planes, 3, stride=stride, padding=1, bias=False,
+        bias = self.conv_bias
+        out = conv2d(planes, 3, stride=stride, padding=1, bias=bias,
                      name=f'{prefix}.conv1', dtype=self.dtype)(x)
         out = batch_norm(train=train, name=f'{prefix}.bn1', dtype=self.dtype)(out)
         out = relu(out)
-        out = conv2d(planes, 3, padding=1, bias=False,
+        out = conv2d(planes, 3, padding=1, bias=bias,
                      name=f'{prefix}.conv2', dtype=self.dtype)(out)
         out = batch_norm(train=train, name=f'{prefix}.bn2', dtype=self.dtype)(out)
         if downsample:
-            identity = conv2d(planes, 1, stride=stride, bias=False,
+            identity = conv2d(planes, 1, stride=stride, bias=bias,
                               name=f'{prefix}.downsample.0', dtype=self.dtype)(x)
             identity = batch_norm(train=train, name=f'{prefix}.downsample.1',
                                   dtype=self.dtype)(identity)
@@ -80,19 +85,21 @@ class ResNet(nn.Module):
 
     def _bottleneck(self, x, planes, stride, downsample, prefix, train):
         identity = x
-        out = conv2d(planes, 1, bias=False, name=f'{prefix}.conv1',
+        bias = self.conv_bias
+        s1, s2 = (stride, 1) if self.stride_on == 'conv1' else (1, stride)
+        out = conv2d(planes, 1, stride=s1, bias=bias, name=f'{prefix}.conv1',
                      dtype=self.dtype)(x)
         out = batch_norm(train=train, name=f'{prefix}.bn1', dtype=self.dtype)(out)
         out = relu(out)
-        out = conv2d(planes, 3, stride=stride, padding=1, bias=False,
+        out = conv2d(planes, 3, stride=s2, padding=1, bias=bias,
                      name=f'{prefix}.conv2', dtype=self.dtype)(out)
         out = batch_norm(train=train, name=f'{prefix}.bn2', dtype=self.dtype)(out)
         out = relu(out)
-        out = conv2d(planes * 4, 1, bias=False, name=f'{prefix}.conv3',
+        out = conv2d(planes * 4, 1, bias=bias, name=f'{prefix}.conv3',
                      dtype=self.dtype)(out)
         out = batch_norm(train=train, name=f'{prefix}.bn3', dtype=self.dtype)(out)
         if downsample:
-            identity = conv2d(planes * 4, 1, stride=stride, bias=False,
+            identity = conv2d(planes * 4, 1, stride=stride, bias=bias,
                               name=f'{prefix}.downsample.0', dtype=self.dtype)(x)
             identity = batch_norm(train=train, name=f'{prefix}.downsample.1',
                                   dtype=self.dtype)(identity)
@@ -103,11 +110,14 @@ class ResNet(nn.Module):
                  train: bool = False):
         block_fn = self._basic if self.block == 'basic' else self._bottleneck
         if mode in ('forward', 'features'):
-            x = conv2d(64, 7, stride=2, padding=3, bias=False, name='conv1',
-                       dtype=self.dtype)(x)
+            x = conv2d(64, 7, stride=2, padding=3, bias=self.conv_bias,
+                       name='conv1', dtype=self.dtype)(x)
             x = batch_norm(train=train, name='bn1', dtype=self.dtype)(x)
             x = relu(x)
-            x = max_pool(x, 3, stride=2, padding=1)
+            if self.stem_pool == 'ceil':
+                x = max_pool(x, 3, stride=2, padding=0, ceil_mode=True)
+            else:
+                x = max_pool(x, 3, stride=2, padding=1)
             inplanes = 64
             for stage, (planes, blocks, stride) in enumerate(
                     zip(self.width_per_stage, self.layers, (1, 2, 2, 2)), start=1):
@@ -119,7 +129,12 @@ class ResNet(nn.Module):
             if mode == 'features':
                 return x
         if mode in ('forward', 'logits'):
-            x = global_avg_pool(x)
+            if self.logits_pool == 'avg7':
+                from ..ops.pooling import avg_pool
+                x = avg_pool(x, 7, 7)
+                x = x.reshape((x.shape[0], -1))
+            else:
+                x = global_avg_pool(x)
             if head:
                 x = dense(self.num_classes, name='last_linear', dtype=self.dtype)(x)
         return x

@@ -153,6 +153,59 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], variables: dict, *,
     return unflatten_variables(out)
 
 
+def group_state_dict_in_order(state_dict) -> list:
+    """Group a torch state_dict into per-leaf-module param dicts, preserving
+    insertion (registration) order.
+
+    Used for checkpoints whose key names are meaningless auto-generated graph
+    indices (the reference's ResNeXt Lambda-graph ports,
+    resnext_features/resnext101_*_features.py): the *order* of param-bearing
+    modules is the stable contract, so we match our leaves to torch leaves
+    positionally (conv<->conv, bn<->bn verified by param signature).
+    """
+    groups, order = {}, []
+    for k, v in state_dict.items():
+        if k.endswith(IGNORED_TORCH_SUFFIXES):
+            continue
+        prefix, leaf = k.rsplit('.', 1)
+        if prefix not in groups:
+            groups[prefix] = {}
+            order.append(prefix)
+        groups[prefix][leaf] = np.asarray(v)
+    return [(p, groups[p]) for p in order]
+
+
+def convert_state_dict_ordered(state_dict, variables: dict,
+                               ordered_leaves: list) -> dict:
+    """Positional conversion: our leaf prefixes (graph creation order) are
+    zipped against the torch checkpoint's param-bearing modules in
+    registration order. ``ordered_leaves`` is a list of flax leaf-name prefixes
+    (strings) in the order the model creates them."""
+    torch_groups = group_state_dict_in_order(state_dict)
+    if len(torch_groups) != len(ordered_leaves):
+        raise ValueError(
+            f'leaf count mismatch: checkpoint has {len(torch_groups)} '
+            f'param-bearing modules, model has {len(ordered_leaves)}')
+    flat = flatten_variables(variables)
+    out = dict(flat)
+    leaf_map = {'kernel': 'weight', 'bias': 'bias', 'scale': 'weight',
+                'mean': 'running_mean', 'var': 'running_var'}
+    for ours, (tprefix, tgroup) in zip(ordered_leaves, torch_groups):
+        for path in flat:
+            if '.'.join(path[1:-1]) != ours:
+                continue
+            tkey = leaf_map[path[-1]]
+            if tkey not in tgroup:
+                raise ValueError(f'{tprefix} missing {tkey} for {path}')
+            value = _to_flax_layout(tgroup[tkey], path, tuple(np.shape(flat[path])))
+            if tuple(value.shape) != tuple(np.shape(flat[path])):
+                raise ValueError(
+                    f'shape mismatch {tprefix}->{ours}: {value.shape} vs '
+                    f'{np.shape(flat[path])}')
+            out[path] = jnp.asarray(np.ascontiguousarray(value))
+    return unflatten_variables(out)
+
+
 def densenet_key_rewrite(key: str) -> str:
     """Dotted-key migration for old densenet checkpoints
     (reference: torchvision_models.py:288-297)."""

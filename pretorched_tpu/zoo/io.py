@@ -77,8 +77,13 @@ def load_pretrained_variables(name: str, dataset: str, settings: dict,
     tpath = find_torch_checkpoint(settings.get('url', '') or '')
     if tpath is not None:
         sd = load_torch_state_dict(tpath)
-        converted = _convert.convert_state_dict(
-            sd, variables, renames=torch_renames, **(converter_opts or {}))
+        opts = dict(converter_opts or {})
+        ordered = opts.pop('ordered_leaves', None)
+        if ordered is not None:
+            converted = _convert.convert_state_dict_ordered(sd, variables, ordered)
+        else:
+            converted = _convert.convert_state_dict(
+                sd, variables, renames=torch_renames, **opts)
         save_converted(converted, cpath)
         return converted
     msg = (f'pretrained weights for {name}/{dataset} not found locally '
