@@ -15,5 +15,9 @@ from .cafferesnet import cafferesnet101  # noqa: F401
 from .senet import (se_resnet50, se_resnet101, se_resnet152,  # noqa: F401
                     se_resnext50_32x4d, se_resnext101_32x4d, senet154)
 from .resnext import resnext101_32x4d, resnext101_64x4d  # noqa: F401
+from .bninception import bninception  # noqa: F401
+from .inceptionv4 import inceptionv4  # noqa: F401
+from .inceptionresnetv2 import inceptionresnetv2  # noqa: F401
+from .xception import xception  # noqa: F401
 
 from ..core.registry import MODEL_REGISTRY, model_names, pretrained_settings  # noqa: F401
