@@ -19,5 +19,9 @@ from .bninception import bninception  # noqa: F401
 from .inceptionv4 import inceptionv4  # noqa: F401
 from .inceptionresnetv2 import inceptionresnetv2  # noqa: F401
 from .xception import xception  # noqa: F401
+from .dpn import dpn68, dpn68b, dpn92, dpn98, dpn107, dpn131  # noqa: F401
+from .mobilenet import mobilenetv2  # noqa: F401
+from .vggm import vggm  # noqa: F401
+from .wideresnet import wideresnet50  # noqa: F401
 
 from ..core.registry import MODEL_REGISTRY, model_names, pretrained_settings  # noqa: F401

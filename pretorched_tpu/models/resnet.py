@@ -60,6 +60,7 @@ class ResNet(nn.Module):
     stride_on: str = 'conv2'        # 'conv1' = caffe-style (cafferesnet.py:66-69)
     stem_pool: str = 'pad'          # 'ceil' = caffe 3x3/2 pad0 ceil_mode pool
     logits_pool: str = 'global'     # 'avg7' = fixed AvgPool2d(7) head
+    inner_width_mult: float = 1.0   # WideResNet: widen bottleneck 3x3 widths only
     dtype: Any = None
 
     @property
@@ -86,12 +87,13 @@ class ResNet(nn.Module):
     def _bottleneck(self, x, planes, stride, downsample, prefix, train):
         identity = x
         bias = self.conv_bias
+        inner = int(planes * self.inner_width_mult)
         s1, s2 = (stride, 1) if self.stride_on == 'conv1' else (1, stride)
-        out = conv2d(planes, 1, stride=s1, bias=bias, name=f'{prefix}.conv1',
+        out = conv2d(inner, 1, stride=s1, bias=bias, name=f'{prefix}.conv1',
                      dtype=self.dtype)(x)
         out = batch_norm(train=train, name=f'{prefix}.bn1', dtype=self.dtype)(out)
         out = relu(out)
-        out = conv2d(planes, 3, stride=s2, padding=1, bias=bias,
+        out = conv2d(inner, 3, stride=s2, padding=1, bias=bias,
                      name=f'{prefix}.conv2', dtype=self.dtype)(out)
         out = batch_norm(train=train, name=f'{prefix}.bn2', dtype=self.dtype)(out)
         out = relu(out)
