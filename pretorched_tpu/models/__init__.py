@@ -23,5 +23,17 @@ from .dpn import dpn68, dpn68b, dpn92, dpn98, dpn107, dpn131  # noqa: F401
 from .mobilenet import mobilenetv2  # noqa: F401
 from .vggm import vggm  # noqa: F401
 from .wideresnet import wideresnet50  # noqa: F401
+from .resnet3d import (resnet3d10, resnet3d18, resnet3d34, resnet3d50,  # noqa: F401
+                       resnet3d101, resnet3d152, resnet3d200, resneti3d50,
+                       get_fine_tuning_parameter_names)
+from .resnext3d import (resnext3d10, resnext3d18, resnext3d34,  # noqa: F401
+                        resnext3d50, resnext3d101, resnext3d152, resnext3d200)
+from .wideresnet3d import wideresnet3d50  # noqa: F401
+from .preact_resnet3d import (preact_resnet3d10, preact_resnet3d18,  # noqa: F401
+                              preact_resnet3d34, preact_resnet3d50,
+                              preact_resnet3d101, preact_resnet3d152,
+                              preact_resnet3d200)
+from .r2plus1d import (r2plus1d10, r2plus1d18, r2plus1d34, r2plus1d50,  # noqa: F401
+                       r2plus1d101, r2plus1d152, r2plus1d200)
 
 from ..core.registry import MODEL_REGISTRY, model_names, pretrained_settings  # noqa: F401
