@@ -56,12 +56,14 @@ def build_model(name: str, module, settings_map, num_classes: int,
                 input_shape=None, video: bool = False,
                 init_kwargs: Optional[dict] = None,
                 fallback_size: int = 224,
+                check_num_classes: bool = True,
                 seed: int = 0) -> PretrainedModel:
     settings = None
     if pretrained is not None:
         settings = settings_map[name][pretrained]
-        assert num_classes == settings['num_classes'], (
-            f"num_classes should be {settings['num_classes']}, but is {num_classes}")
+        if check_num_classes:
+            assert num_classes == settings['num_classes'], (
+                f"num_classes should be {settings['num_classes']}, but is {num_classes}")
     if input_shape is None:
         input_shape = default_input_shape(settings, video=video,
                                           fallback=fallback_size)

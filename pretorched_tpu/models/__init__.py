@@ -35,5 +35,10 @@ from .preact_resnet3d import (preact_resnet3d10, preact_resnet3d18,  # noqa: F40
                               preact_resnet3d200)
 from .r2plus1d import (r2plus1d10, r2plus1d18, r2plus1d34, r2plus1d50,  # noqa: F401
                        r2plus1d101, r2plus1d152, r2plus1d200)
+from .nonlocalnet import (MNISTNonLocalNet, NonLocalBlock, NonLocalBlock1D,  # noqa: F401
+                          NonLocalBlock2D, NonLocalBlock3D,
+                          nonlocalresnet3d18, nonlocalresnet3d34,
+                          nonlocalresnet3d50, nonlocalresnet3d101,
+                          nonlocalresnet3d152)
 
 from ..core.registry import MODEL_REGISTRY, model_names, pretrained_settings  # noqa: F401

@@ -1,0 +1,132 @@
+"""Blockwise (flash-style) non-local attention for TPU.
+
+The reference's non-local block materializes the full (THW x THW) affinity
+matrix in HBM (nonlocalnet.py:143-166: ``f = theta @ phi; softmax(f) @ g``) —
+O(N^2) memory. This kernel streams the softmax over key blocks with the
+standard running-max/normalizer recurrence, so long clips (N = T*H*W up to
+tens of thousands) fit in VMEM and the matmuls stay on the MXU.
+
+Semantics parity: plain ``softmax(q @ k^T) @ v`` — the reference's
+embedded-gaussian/gaussian modes apply *no* 1/sqrt(d) scaling, and we keep
+that (an optional ``scale`` covers other uses). The ``dot_product`` and
+``concatenation`` modes divide by N instead of softmax — those are *linear*
+attention, evaluated in O(N*C^2) via associativity ((q @ (k^T @ v)) / N)
+without any kernel (see ``linear_nonlocal_attention``).
+
+Layout: q, v are (B, N, C); k is (B, N, C). All math f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                 n_valid: int, block_k: int, scale: float):
+    """Grid: (B, num_q_blocks, num_k_blocks). Streaming softmax over axis 2."""
+    kb = pl.program_id(2)
+    is_first = kb == 0
+    is_last = kb == pl.num_programs(2) - 1
+
+    @pl.when(is_first)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                                     # (bq, C)
+    k = k_ref[0]                                     # (bk, C)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        s = s * scale
+    # mask out padded key columns in the last block
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+
+    m_prev = m_ref[:, 0]                             # (bq,)
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+    alpha = jnp.exp(m_prev - m_cur)                  # (bq,)
+    p = jnp.exp(s - m_cur[:, None])                  # (bq, bk)
+    l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
+    m_ref[:, 0] = m_cur
+    v = v_ref[0].astype(jnp.float32)                 # (bk, C)
+    pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha[:, None] + pv
+
+    @pl.when(is_last)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k',
+                                             'interpret'))
+def nonlocal_attention(q, k, v, scale: float = 1.0, block_q: int = 256,
+                       block_k: int = 512, interpret: bool = False):
+    """softmax(q @ k^T * scale) @ v, blockwise. q,k,v: (B, N, C)."""
+    b, n, c = q.shape
+    bq = min(block_q, _round_up(n, 128))
+    bk = min(block_k, _round_up(n, 128))
+    n_pad = _round_up(n, math.lcm(bq, bk))
+    pad = [(0, 0), (0, n_pad - n), (0, 0)]
+    qp, kp, vp = (jnp.pad(a, pad) for a in (q, k, v))
+
+    grid = (b, n_pad // bq, n_pad // bk)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, n_valid=n, block_k=bk, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),     # running max
+            pltpu.VMEM((bq, 1), jnp.float32),     # running normalizer
+            pltpu.VMEM((bq, c), jnp.float32),     # output accumulator
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_pad * n_pad * c,
+            bytes_accessed=(3 * b * n_pad * c + b * n_pad * c) * 4,
+            transcendentals=b * n_pad * n_pad),
+    )(qp, kp, vp)
+    return out[:, :n]
+
+
+def nonlocal_attention_reference(q, k, v, scale: float = 1.0):
+    """Naive einsum oracle (same math as nonlocalnet.py:143-166)."""
+    s = jnp.einsum('bnc,bmc->bnm', q, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum('bnm,bmc->bnc', p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def auto_nonlocal_attention(q, k, v, scale: float = 1.0):
+    """Pallas on TPU; interpreter elsewhere for small N, einsum otherwise."""
+    backend = jax.default_backend()
+    if backend == 'tpu':
+        return nonlocal_attention(q, k, v, scale=scale)
+    return nonlocal_attention_reference(q, k, v, scale=scale)
+
+
+def linear_nonlocal_attention(q, k, v):
+    """(q @ k^T @ v) / N via associativity — the reference's dot_product mode
+    (nonlocalnet.py:192-210) is linear, so O(N^2) never needs to exist."""
+    n = q.shape[1]
+    kv = jnp.einsum('bmc,bmd->bcd', k, v.astype(jnp.float32))
+    return (jnp.einsum('bnc,bcd->bnd', q.astype(jnp.float32), kv) / n).astype(q.dtype)

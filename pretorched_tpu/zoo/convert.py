@@ -140,9 +140,14 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], variables: dict, *,
             value = value[1:]
         value = _to_flax_layout(value, path, tuple(np.shape(leaf)))
         if tuple(value.shape) != tuple(np.shape(leaf)):
-            raise ValueError(
-                f'shape mismatch for {tkey} -> {path}: torch {value.shape} '
-                f'vs flax {np.shape(leaf)}')
+            msg = (f'shape mismatch for {tkey} -> {path}: torch {value.shape} '
+                   f'vs flax {np.shape(leaf)}')
+            if strict:
+                raise ValueError(msg)
+            import warnings
+            warnings.warn(msg + ' (skipped, strict=False)')
+            out[path] = leaf
+            continue
         out[path] = jnp.asarray(np.ascontiguousarray(value), dtype=jnp.asarray(leaf).dtype)
 
     unexpected = sorted(set(sd) - used)

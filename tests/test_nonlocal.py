@@ -1,0 +1,126 @@
+"""Non-local block parity vs torch (all 4 modes) + Pallas kernel checks."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import jax
+
+from pretorched_tpu.models.nonlocalnet import NonLocalBlock
+from pretorched_tpu.zoo import convert
+
+
+class TorchNL3D(tnn.Module):
+    """Reference-behavior non-local block (nonlocalnet.py:51-243)."""
+
+    def __init__(self, c, mode, sub_sample=False):
+        super().__init__()
+        self.mode, self.c, self.inter = mode, c, c // 2
+        self.sub = sub_sample
+        self.g = tnn.Conv3d(c, self.inter, 1)
+        self.W0 = tnn.Conv3d(self.inter, c, 1)
+        self.Wbn = tnn.BatchNorm3d(c)
+        if mode != 'gaussian':
+            self.theta = tnn.Conv3d(c, self.inter, 1)
+            self.phi = tnn.Conv3d(c, self.inter, 1)
+        if mode == 'concatenation':
+            self.concat_project = tnn.Conv2d(self.inter * 2, 1, 1, bias=False)
+
+    def forward(self, x):
+        b = x.size(0)
+        g_x = self.g(x)
+        if self.sub:
+            g_x = F.max_pool3d(g_x, 2)
+        g_x = g_x.view(b, self.inter, -1).permute(0, 2, 1)
+        if self.mode == 'gaussian':
+            theta = x.view(b, self.c, -1).permute(0, 2, 1)
+            phi_in = F.max_pool3d(x, 2) if self.sub else x
+            phi = phi_in.reshape(b, self.c, -1)
+            f = torch.matmul(theta, phi)
+            fdc = F.softmax(f, dim=-1)
+        elif self.mode == 'embedded_gaussian':
+            theta = self.theta(x).view(b, self.inter, -1).permute(0, 2, 1)
+            phi = self.phi(x)
+            if self.sub:
+                phi = F.max_pool3d(phi, 2)
+            phi = phi.reshape(b, self.inter, -1)
+            f = torch.matmul(theta, phi)
+            fdc = F.softmax(f, dim=-1)
+        elif self.mode == 'dot_product':
+            theta = self.theta(x).view(b, self.inter, -1).permute(0, 2, 1)
+            phi = self.phi(x).view(b, self.inter, -1)
+            f = torch.matmul(theta, phi)
+            fdc = f / f.size(-1)
+        else:  # concatenation
+            theta = self.theta(x).view(b, self.inter, -1, 1)
+            phi = self.phi(x).view(b, self.inter, 1, -1)
+            h, w = theta.size(2), phi.size(3)
+            f = self.concat_project(torch.cat(
+                [theta.repeat(1, 1, 1, w), phi.repeat(1, 1, h, 1)], dim=1))
+            f = F.relu(f).view(b, h, w)
+            fdc = f / f.size(-1)
+        y = torch.matmul(fdc, g_x).permute(0, 2, 1).contiguous()
+        y = y.view(b, self.inter, *x.shape[2:])
+        return self.Wbn(self.W0(y)) + x
+
+
+@pytest.mark.parametrize('mode', ['embedded_gaussian', 'gaussian',
+                                  'dot_product', 'concatenation'])
+def test_nonlocal_block_parity(mode):
+    c = 16
+    tm = TorchNL3D(c, mode).eval()
+    with torch.no_grad():
+        tm.Wbn.running_mean.uniform_(-0.2, 0.2)
+        tm.Wbn.running_var.uniform_(0.5, 1.5)
+        tm.Wbn.weight.uniform_(0.5, 1.5)
+
+    module = NonLocalBlock(in_channels=c, dimension=3, mode=mode)
+    variables = dict(module.init(jax.random.key(0),
+                                 np.zeros((1, 4, 6, 6, c), np.float32)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    renames = {'W.0': 'W0', 'W.1': 'Wbn', 'concat_project.0': 'concat_project'}
+    variables = convert.convert_state_dict(sd, variables, renames=renames)
+    x = np.random.RandomState(0).randn(2, c, 4, 6, 6).astype(np.float32)
+    ref = tm(torch.from_numpy(x)).detach().numpy()
+    got = module.apply(variables, np.transpose(x, (0, 2, 3, 4, 1)))
+    got = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_nonlocal_sub_sample_parity():
+    c = 16
+    tm = TorchNL3D(c, 'embedded_gaussian', sub_sample=True).eval()
+    module = NonLocalBlock(in_channels=c, dimension=3, sub_sample=True)
+    variables = dict(module.init(jax.random.key(0),
+                                 np.zeros((1, 4, 6, 6, c), np.float32)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    renames = {'W.0': 'W0', 'W.1': 'Wbn', 'g.0': 'g', 'phi.0': 'phi'}
+    variables = convert.convert_state_dict(sd, variables, renames=renames)
+    x = np.random.RandomState(0).randn(2, c, 4, 6, 6).astype(np.float32)
+    ref = tm(torch.from_numpy(x)).detach().numpy()
+    got = module.apply(variables, np.transpose(x, (0, 2, 3, 4, 1)))
+    got = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_attention_matches_reference():
+    from pretorched_tpu.ops.pallas.nonlocal_attention import (
+        nonlocal_attention, nonlocal_attention_reference)
+    rng = np.random.RandomState(0)
+    q = rng.randn(2, 300, 32).astype(np.float32)
+    k = rng.randn(2, 300, 32).astype(np.float32)
+    v = rng.randn(2, 300, 32).astype(np.float32)
+    ref = np.asarray(nonlocal_attention_reference(q, k, v))
+    got = np.asarray(nonlocal_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_nonlocal_zero_init_is_identity():
+    """Fresh blocks are identity (W BN scale zero-init, nonlocalnet.py:94-101)."""
+    module = NonLocalBlock(in_channels=8, dimension=2)
+    x = np.random.RandomState(0).randn(1, 5, 5, 8).astype(np.float32)
+    variables = module.init(jax.random.key(0), x)
+    out = module.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-6)
