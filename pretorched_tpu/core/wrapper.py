@@ -32,6 +32,8 @@ from ..models.layers import Identity
 
 
 def to_channels_last(x):
+    if x.ndim == 3:
+        return jnp.transpose(x, (0, 2, 1))
     if x.ndim == 4:
         return jnp.transpose(x, (0, 2, 3, 1))
     if x.ndim == 5:
@@ -40,6 +42,8 @@ def to_channels_last(x):
 
 
 def to_channels_first(x):
+    if x.ndim == 3:
+        return jnp.transpose(x, (0, 2, 1))
     if x.ndim == 4:
         return jnp.transpose(x, (0, 3, 1, 2))
     if x.ndim == 5:

@@ -35,6 +35,12 @@ from .preact_resnet3d import (preact_resnet3d10, preact_resnet3d18,  # noqa: F40
                               preact_resnet3d200)
 from .r2plus1d import (r2plus1d10, r2plus1d18, r2plus1d34, r2plus1d50,  # noqa: F401
                        r2plus1d101, r2plus1d152, r2plus1d200)
+from . import slowfast  # noqa: F401  (reference exports pretorched.slowfast submodule)
+from .densenet3d import (densenet3d121, densenet3d169, densenet3d201,  # noqa: F401
+                         densenet3d264)
+from .multiview import mvresnet10, mvresnet18, mvresnet34, mvresnet50  # noqa: F401
+from .soundnet import BranchedSoundNet, soundnet8  # noqa: F401
+from .trn import trn  # noqa: F401
 from .nonlocalnet import (MNISTNonLocalNet, NonLocalBlock, NonLocalBlock1D,  # noqa: F401
                           NonLocalBlock2D, NonLocalBlock3D,
                           nonlocalresnet3d18, nonlocalresnet3d34,
