@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""ImageNet train/evaluate CLI.
+
+TPU-native equivalent of the reference's examples/imagenet_eval.py: same
+argparse surface (arch, batch-size, evaluate, resume, lr schedule) and the
+same `* Acc@1 ... Acc@5 ...` progress format (imagenet_eval.py:200-251), but
+the device layer is a jit-compiled step sharded over a ('data','model') mesh
+instead of nn.DataParallel (imagenet_eval.py:136).
+
+Usage:
+    python examples/imagenet_eval.py /path/to/imagenet -a resnet18 -b 256 -e
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np  # noqa: E402
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='ImageNet training/eval (TPU)')
+    p.add_argument('data', help='path to dataset (train/ and val/ subdirs)')
+    p.add_argument('--arch', '-a', default='resnet18')
+    p.add_argument('--workers', '-j', default=8, type=int)
+    p.add_argument('--epochs', default=90, type=int)
+    p.add_argument('--start-epoch', default=0, type=int)
+    p.add_argument('-b', '--batch-size', default=256, type=int)
+    p.add_argument('--lr', '--learning-rate', default=0.1, type=float)
+    p.add_argument('--momentum', default=0.9, type=float)
+    p.add_argument('--weight-decay', '--wd', default=1e-4, type=float)
+    p.add_argument('--print-freq', '-p', default=10, type=int)
+    p.add_argument('--resume', default='', type=str)
+    p.add_argument('-e', '--evaluate', action='store_true')
+    p.add_argument('--pretrained', default='imagenet',
+                   help="pretrained dataset tag or 'none'")
+    p.add_argument('--scale', default=0.875, type=float)
+    p.add_argument('--cpu', action='store_true')
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+
+    import jax
+    import jax.numpy as jnp
+
+    import pretorched_tpu as pretorched
+    from pretorched_tpu.core.wrapper import to_channels_last
+    from pretorched_tpu.datasets.folder import ImageFolder, batch_iterator
+    from pretorched_tpu.parallel import make_mesh, make_train_step
+    from pretorched_tpu.parallel.evaluate import make_eval_step
+    from pretorched_tpu.transforms import TransformImage
+    from pretorched_tpu.utils import AverageMeter
+    from pretorched_tpu.zoo import io as zoo_io
+
+    pretrained = None if args.pretrained in ('none', 'None', '') else args.pretrained
+    print(f"=> creating model '{args.arch}' (pretrained={pretrained})")
+    model = pretorched.__dict__[args.arch](
+        num_classes=1000, pretrained=pretrained)
+    model.eval()
+
+    settings = (model.settings if model.settings is not None else
+                pretorched.pretrained_settings[args.arch]['imagenet'])
+    scale = settings.get('scale', args.scale)
+    mesh = make_mesh()
+    print(f"=> mesh: {dict(mesh.shape)}")
+
+    if args.resume and os.path.isfile(args.resume):
+        print(f"=> loading checkpoint '{args.resume}'")
+        from flax import serialization
+        with open(args.resume, 'rb') as f:
+            model.variables = serialization.from_bytes(model.variables, f.read())
+
+    val_tf = TransformImage(settings, scale=scale)
+    valdir = os.path.join(args.data, 'val')
+    val_set = ImageFolder(valdir, transform=val_tf)
+    print(f'=> {len(val_set)} val images')
+
+    eval_step = make_eval_step(model, mesh=mesh)
+
+    def validate():
+        batch_time, losses, top1, top5 = (AverageMeter() for _ in range(4))
+        end = time.time()
+        for i, (images, labels) in enumerate(batch_iterator(
+                val_set, args.batch_size, num_workers=args.workers)):
+            x = to_channels_last(jnp.asarray(images))
+            out = jax.device_get(eval_step(model.variables, x,
+                                           jnp.asarray(labels)))
+            n = int(out['count'])
+            losses.update(float(out['loss']) / n, n)
+            top1.update(100.0 * float(out['top1']) / n, n)
+            top5.update(100.0 * float(out['top5']) / n, n)
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if i % args.print_freq == 0:
+                print(f'Test: [{i}]\t'
+                      f'Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t'
+                      f'Loss {losses.val:.4f} ({losses.avg:.4f})\t'
+                      f'Acc@1 {top1.val:.3f} ({top1.avg:.3f})\t'
+                      f'Acc@5 {top5.val:.3f} ({top5.avg:.3f})')
+        print(f' * Acc@1 {top1.avg:.3f} Acc@5 {top5.avg:.3f}')
+        return top1.avg
+
+    if args.evaluate:
+        validate()
+        return
+
+    # ------------------------------------------------------------- training
+    import optax
+
+    from pretorched_tpu.parallel.train import sgd_step_decay
+
+    traindir = os.path.join(args.data, 'train')
+    train_tf = TransformImage(settings, scale=scale, random_crop=True,
+                              random_hflip=True)
+    train_set = ImageFolder(traindir, transform=train_tf)
+    steps_per_epoch = max(len(train_set) // args.batch_size, 1)
+    tx = sgd_step_decay(args.lr, args.momentum, args.weight_decay,
+                        decay_epochs=30, steps_per_epoch=steps_per_epoch)
+    train_step = make_train_step(model.module, tx, mesh=mesh)
+    params = model.variables['params']
+    batch_stats = model.variables.get('batch_stats')
+    opt_state = tx.init(params)
+
+    best_prec1 = 0.0
+    step_idx = args.start_epoch * steps_per_epoch
+    for epoch in range(args.start_epoch, args.epochs):
+        batch_time, losses, top1 = AverageMeter(), AverageMeter(), AverageMeter()
+        end = time.time()
+        for i, (images, labels) in enumerate(batch_iterator(
+                train_set, args.batch_size, shuffle=True, drop_last=True,
+                num_workers=args.workers, seed=epoch)):
+            x = to_channels_last(jnp.asarray(images))
+            params, batch_stats, opt_state, metrics = train_step(
+                params, batch_stats, opt_state, x, jnp.asarray(labels),
+                step_idx)
+            step_idx += 1
+            losses.update(float(metrics['loss']), len(labels))
+            top1.update(100.0 * float(metrics['top1']), len(labels))
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if i % args.print_freq == 0:
+                print(f'Epoch: [{epoch}][{i}]\t'
+                      f'Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t'
+                      f'Loss {losses.val:.4f} ({losses.avg:.4f})\t'
+                      f'Acc@1 {top1.val:.3f} ({top1.avg:.3f})')
+        model.variables = {'params': params}
+        if batch_stats is not None:
+            model.variables['batch_stats'] = batch_stats
+        prec1 = validate()
+        is_best = prec1 > best_prec1
+        best_prec1 = max(prec1, best_prec1)
+        save_checkpoint(model.variables, args.arch, epoch, best_prec1, is_best)
+
+
+def save_checkpoint(variables, arch, epoch, best_prec1,
+                    is_best, filename='checkpoint.msgpack'):
+    """Reference: imagenet_eval.py:256-259 (+ best-copy)."""
+    import shutil
+
+    from flax import serialization
+    with open(filename, 'wb') as f:
+        f.write(serialization.to_bytes(variables))
+    meta = {'epoch': epoch, 'arch': arch, 'best_prec1': best_prec1}
+    with open(filename + '.meta', 'w') as f:
+        f.write(repr(meta))
+    if is_best:
+        shutil.copyfile(filename, 'model_best.msgpack')
+
+
+if __name__ == '__main__':
+    main()

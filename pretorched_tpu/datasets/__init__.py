@@ -1,1 +1,3 @@
-# populated by datasets.utils and datasets.voc
+from .utils import (AveragePrecisionMeter, Warp, download_url,  # noqa: F401
+                    load_imagenet_classes)
+from .voc import Voc2007Classification, download_voc2007, object_categories  # noqa: F401

@@ -86,8 +86,11 @@ def _reduce_window(x, plan, init, op):
 def max_pool(x, kernel, stride=None, padding=0, ceil_mode: bool = False):
     """Channels-last N-d max pool matching ``torch.nn.functional.max_poolNd``."""
     plan = _window_plan(x.shape[1:-1], kernel, stride, padding, ceil_mode)
-    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
-    return _reduce_window(x, plan, jnp.asarray(neg, x.dtype), lax.max)
+    # scalar -inf init so jax specializes to the differentiable
+    # reduce_window_max primitive
+    neg = -np.inf if jnp.issubdtype(x.dtype, jnp.floating) else np.iinfo(
+        np.dtype(x.dtype)).min
+    return _reduce_window(x, plan, neg, lax.max)
 
 
 def avg_pool(x, kernel, stride=None, padding=0, ceil_mode: bool = False,
@@ -98,7 +101,7 @@ def avg_pool(x, kernel, stride=None, padding=0, ceil_mode: bool = False,
     but never the implicit padding ceil_mode adds (torch semantics).
     """
     plan = _window_plan(x.shape[1:-1], kernel, stride, padding, ceil_mode)
-    sums = _reduce_window(x.astype(jnp.float32), plan, jnp.asarray(0, jnp.float32), lax.add)
+    sums = _reduce_window(x.astype(jnp.float32), plan, 0.0, lax.add)
     # Static per-dim divisor counts, outer-multiplied and broadcast.
     div = np.ones([pl[0] for pl in plan], np.float32)
     for axis, (out, pad_lo, _pad_hi, k, s, p) in enumerate(plan):

@@ -1,0 +1,4 @@
+from .mesh import make_mesh, model_shardings  # noqa: F401
+from .dist import initialize  # noqa: F401
+from .evaluate import make_eval_step, sharded_accuracy_step  # noqa: F401
+from .train import make_train_step  # noqa: F401
