@@ -41,6 +41,8 @@ from .densenet3d import (densenet3d121, densenet3d169, densenet3d201,  # noqa: F
 from .multiview import mvresnet10, mvresnet18, mvresnet34, mvresnet50  # noqa: F401
 from .soundnet import BranchedSoundNet, soundnet8  # noqa: F401
 from .nasnet import nasnetalarge, nasnetamobile  # noqa: F401
+from .pnasnet import pnasnet5large  # noqa: F401
+from .polynet import polynet  # noqa: F401
 from .trn import trn  # noqa: F401
 from .nonlocalnet import (MNISTNonLocalNet, NonLocalBlock, NonLocalBlock1D,  # noqa: F401
                           NonLocalBlock2D, NonLocalBlock3D,
