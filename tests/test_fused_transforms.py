@@ -1,0 +1,52 @@
+"""Fused device preprocessing vs the PIL oracle (tolerance-tested)."""
+
+import numpy as np
+from PIL import Image
+
+from pretorched_tpu.transforms import TransformImage
+from pretorched_tpu.transforms.fused import (fused_preprocess, preprocess_clip,
+                                             ten_crop)
+
+SETTINGS = {
+    'input_space': 'RGB', 'input_size': [3, 224, 224], 'input_range': [0, 1],
+    'mean': [0.485, 0.456, 0.406], 'std': [0.229, 0.224, 0.225],
+}
+
+
+def test_fused_matches_pil_oracle():
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 255, (300, 400, 3), np.uint8)
+    oracle = TransformImage(SETTINGS)(Image.fromarray(raw))       # (3,224,224)
+    fused = np.asarray(fused_preprocess(raw, SETTINGS,
+                                        channels_last=False))[0]
+    assert fused.shape == oracle.shape
+    # antialiased bilinear resize: close but not bit-equal to PIL
+    diff = np.abs(fused - oracle)
+    assert np.percentile(diff, 99) < 0.12, np.percentile(diff, 99)
+    assert diff.mean() < 0.02, diff.mean()
+
+
+def test_fused_bgr_255():
+    s = dict(SETTINGS, input_space='BGR', input_range=[0, 255],
+             mean=[104, 117, 128], std=[1, 1, 1])
+    raw = np.random.RandomState(0).randint(0, 255, (256, 256, 3), np.uint8)
+    out = np.asarray(fused_preprocess(raw, s))[0]
+    assert out.shape == (224, 224, 3)
+    # un-normalize: values should be in [0, 255] and channel order flipped
+    un = out + np.array(s['mean'])
+    assert un.min() >= -1e-3 and un.max() <= 255 + 1e-3
+
+
+def test_ten_crop():
+    x = np.random.RandomState(0).randn(2, 256, 256, 3).astype(np.float32)
+    crops = np.asarray(ten_crop(x, 224))
+    assert crops.shape == (2, 10, 224, 224, 3)
+    # crop 0 = top-left corner; crop 5 = its horizontal flip
+    np.testing.assert_allclose(crops[:, 0], x[:, :224, :224, :])
+    np.testing.assert_allclose(crops[:, 5], x[:, :224, :224, :][:, :, ::-1, :])
+
+
+def test_preprocess_clip():
+    frames = np.random.RandomState(0).randint(0, 255, (8, 256, 320, 3), np.uint8)
+    out = np.asarray(preprocess_clip(frames, SETTINGS, channels_last=False))
+    assert out.shape == (1, 3, 8, 224, 224)

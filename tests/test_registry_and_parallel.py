@@ -1,0 +1,112 @@
+"""Registry completeness (SURVEY §2 inventory) + mesh-parallel eval/train."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pretorched_tpu as p
+
+# the reference's settings.py aggregation (SURVEY §2.1); ours is a superset
+REFERENCE_MODEL_NAMES = [
+    'fbresnet152', 'bninception', 'resnext101_32x4d', 'resnext101_64x4d',
+    'inceptionv4', 'inceptionresnetv2',
+    'alexnet', 'densenet121', 'densenet169', 'densenet201', 'densenet161',
+    'resnet18', 'resnet34', 'resnet50', 'resnet101', 'resnet152',
+    'inceptionv3', 'squeezenet1_0', 'squeezenet1_1',
+    'vgg11', 'vgg11_bn', 'vgg13', 'vgg13_bn', 'vgg16', 'vgg16_bn',
+    'vgg19_bn', 'vgg19',
+    'nasnetamobile', 'nasnetalarge',
+    'dpn68', 'dpn68b', 'dpn92', 'dpn98', 'dpn131', 'dpn107',
+    'xception',
+    'senet154', 'se_resnet50', 'se_resnet101', 'se_resnet152',
+    'se_resnext50_32x4d', 'se_resnext101_32x4d',
+    'cafferesnet101', 'pnasnet5large', 'polynet',
+    'resnet3d10', 'resnet3d18', 'resnet3d34', 'resnet3d50', 'resnet3d101',
+    'resnet3d152', 'resnet3d200',
+    'resnext3d10', 'resnext3d18', 'resnext3d34', 'resnext3d50',
+    'resnext3d101', 'resnext3d152', 'resnext3d200',
+]
+
+# factories the reference exports without registering (pretorched/__init__.py)
+EXTRA_FACTORIES = [
+    'fbresnet18', 'fbresnet34', 'fbresnet50', 'fbresnet101',
+    'resneti3d50', 'nonlocalresnet3d18', 'nonlocalresnet3d34',
+    'nonlocalresnet3d50', 'nonlocalresnet3d101', 'mobilenetv2', 'soundnet8',
+    'wideresnet3d50', 'vggm', 'trn', 'r2plus1d18', 'r2plus1d50',
+    'preact_resnet3d18', 'preact_resnet3d50', 'densenet3d121', 'mvresnet18',
+    'slowfast_resnet50', 'wideresnet50',
+]
+
+
+def test_model_names_superset_of_reference():
+    missing = set(REFERENCE_MODEL_NAMES) - set(p.model_names)
+    assert not missing, f'missing from registry: {sorted(missing)}'
+
+
+def test_all_factories_present():
+    for name in REFERENCE_MODEL_NAMES + EXTRA_FACTORIES:
+        assert name in p.MODEL_REGISTRY, name
+        assert callable(p.__dict__[name]), name
+
+
+def test_settings_schema():
+    for name in REFERENCE_MODEL_NAMES:
+        for dataset, s in p.pretrained_settings[name].items():
+            for key in ('url', 'input_space', 'input_size', 'input_range',
+                        'mean', 'std', 'num_classes'):
+                assert key in s, (name, dataset, key)
+
+
+def test_mesh_sharded_eval_step():
+    from pretorched_tpu.parallel import make_mesh
+    from pretorched_tpu.parallel.evaluate import make_eval_step
+
+    assert len(jax.devices()) == 8, 'conftest should provide 8 cpu devices'
+    mesh = make_mesh()          # 8-way data parallel
+    model = p.resnet18(num_classes=10, pretrained=None)
+    step = make_eval_step(model, mesh=mesh)
+    x = jnp.asarray(np.random.RandomState(0).randn(16, 64, 64, 3), jnp.float32)
+    labels = jnp.asarray(np.arange(16) % 10)
+    out = jax.device_get(step(model.variables, x, labels))
+    assert int(out['count']) == 16
+    assert 0 <= int(out['top1']) <= 16
+
+
+def test_mesh_train_step_dp_tp():
+    import optax
+
+    from pretorched_tpu.parallel import make_mesh, make_train_step
+    from pretorched_tpu.parallel.mesh import batch_sharding, model_shardings
+
+    mesh = make_mesh((4, 2))    # dp=4, tp=2
+    model = p.resnet18(num_classes=8, pretrained=None)
+    variables = jax.device_put(model.variables,
+                               model_shardings(mesh, model.variables))
+    params, batch_stats = variables['params'], variables.get('batch_stats')
+    tx = optax.sgd(0.1, momentum=0.9)
+    opt_state = tx.init(params)
+    step = make_train_step(model.module, tx, mesh=mesh)
+    x = jax.device_put(
+        jnp.asarray(np.random.RandomState(0).randn(8, 32, 32, 3), jnp.float32),
+        batch_sharding(mesh))
+    labels = jax.device_put(jnp.asarray(np.arange(8) % 8), batch_sharding(mesh))
+    with mesh:
+        params, batch_stats, opt_state, metrics = step(
+            params, batch_stats, opt_state, x, labels, 0)
+    assert np.isfinite(float(metrics['loss']))
+    # head kernel is column-sharded over 'model'
+    sh = params['last_linear']['kernel'].sharding
+    assert 'model' in str(sh.spec)
+
+
+@pytest.mark.skipif(not os.environ.get('PRETORCHED_TEST_SLOW'),
+                    reason='slow: big-model param-count checks')
+def test_published_param_counts():
+    assert p.nasnetamobile(num_classes=1000, pretrained=None).num_params() == 5289978
+    assert p.nasnetalarge(num_classes=1000, pretrained=None).num_params() == 88753150
+    assert p.pnasnet5large(num_classes=1000, pretrained=None).num_params() == 86057668
+    assert p.polynet(num_classes=1000, pretrained=None).num_params() == 95366600
