@@ -1,1 +1,1 @@
-from . import convert, io  # noqa: F401
+from . import checkpoint, convert, io  # noqa: F401

