@@ -1,0 +1,170 @@
+"""BigGAN-style class-conditional generator (sampling path).
+
+BASELINE.json config 5 ("BigGAN class-conditional 256px generator sampling,
+GAN zoo stretch path") — not present in the reference snapshot (SURVEY §7
+item 9), built here from the published architecture (arXiv:1809.11096):
+
+* hierarchical latent: z is split into per-block chunks, each concatenated
+  with a shared class embedding to drive conditional BatchNorm gains/biases;
+* G blocks: condBN -> relu -> 2x nearest upsample -> 3x3 conv -> condBN ->
+  relu -> 3x3 conv, plus a 1x1-conv upsample skip;
+* one SAGAN self-attention block mid-resolution (64x64);
+* head: BN -> relu -> 3x3 conv -> tanh;
+* truncated-normal sampling via the ``truncation`` argument.
+
+TPU notes: generation is one jit; attention uses the same blockwise Pallas
+kernel as the non-local nets; all convs channels-last bf16-ready.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..models.layers import conv2d, dense
+from ..ops.pallas.nonlocal_attention import auto_nonlocal_attention
+
+
+def _upsample2x(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class CondBatchNorm(nn.Module):
+    """BN with class+latent-conditioned scale/shift."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, cond, train: bool = False):
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-4, use_bias=False, use_scale=False,
+                         dtype=self.dtype, name='bn')(x)
+        gain = dense(self.features, name='gain', dtype=self.dtype)(cond)
+        bias = dense(self.features, name='bias', dtype=self.dtype)(cond)
+        return h * (1.0 + gain[:, None, None, :]) + bias[:, None, None, :]
+
+
+class GBlock(nn.Module):
+    out_ch: int
+    upsample: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, cond, train: bool = False):
+        h = CondBatchNorm(x.shape[-1], dtype=self.dtype, name='bn1')(x, cond, train)
+        h = jax.nn.relu(h)
+        if self.upsample:
+            h = _upsample2x(h)
+            x = _upsample2x(x)
+        h = conv2d(self.out_ch, 3, padding=1, name='conv1', dtype=self.dtype)(h)
+        h = CondBatchNorm(self.out_ch, dtype=self.dtype, name='bn2')(h, cond, train)
+        h = jax.nn.relu(h)
+        h = conv2d(self.out_ch, 3, padding=1, name='conv2', dtype=self.dtype)(h)
+        if x.shape[-1] != self.out_ch:
+            x = conv2d(self.out_ch, 1, name='conv_sc', dtype=self.dtype)(x)
+        return h + x
+
+
+class SelfAttention(nn.Module):
+    """SAGAN attention over H*W positions (blockwise kernel on TPU)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        theta = conv2d(c // 8, 1, bias=False, name='theta', dtype=self.dtype)(x)
+        phi = conv2d(c // 8, 1, bias=False, name='phi', dtype=self.dtype)(x)
+        g = conv2d(c // 2, 1, bias=False, name='g', dtype=self.dtype)(x)
+        n = h * w
+        y = auto_nonlocal_attention(theta.reshape(b, n, -1),
+                                    phi.reshape(b, n, -1),
+                                    g.reshape(b, n, -1))
+        y = y.reshape(b, h, w, c // 2)
+        o = conv2d(c, 1, bias=False, name='o', dtype=self.dtype)(y)
+        gamma = self.param('gamma', nn.initializers.zeros, ())
+        return x + gamma * o
+
+
+class BigGAN(nn.Module):
+    """Generator. resolution in {128, 256}; ch = width multiplier base."""
+
+    resolution: int = 256
+    ch: int = 96
+    dim_z: int = 120
+    shared_dim: int = 128
+    num_classes: int = 1000
+    attn_res: int = 64
+    dtype: Any = None
+
+    @property
+    def arch(self) -> Sequence[int]:
+        if self.resolution == 256:
+            return (16, 16, 8, 8, 4, 2)   # 4 -> 8 ... -> 256
+        if self.resolution == 128:
+            return (16, 16, 8, 4, 2)
+        raise ValueError(self.resolution)
+
+    @nn.compact
+    def __call__(self, z, labels, train: bool = False):
+        blocks = list(self.arch)
+        n_chunks = len(blocks) + 1
+        chunk = self.dim_z // n_chunks
+        zs = [z[:, i * chunk:(i + 1) * chunk] for i in range(n_chunks)]
+        shared = nn.Embed(self.num_classes, self.shared_dim,
+                          name='shared_embedding')(labels)
+
+        h = dense(4 * 4 * 16 * self.ch, name='linear', dtype=self.dtype)(zs[0])
+        h = h.reshape(-1, 4, 4, 16 * self.ch)
+        res = 4
+        for i, mult in enumerate(blocks):
+            cond = jnp.concatenate([shared, zs[i + 1]], axis=-1)
+            h = GBlock(mult * self.ch, dtype=self.dtype,
+                       name=f'blocks.{i}')(h, cond, train)
+            res *= 2
+            if res == self.attn_res:
+                h = SelfAttention(dtype=self.dtype, name='attention')(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-4, dtype=self.dtype, name='output_bn')(h)
+        h = jax.nn.relu(h)
+        h = conv2d(3, 3, padding=1, name='output_conv', dtype=self.dtype)(h)
+        return jnp.tanh(h)
+
+
+def _build(resolution, ch, num_classes, seed=0):
+    module = BigGAN(resolution=resolution, ch=ch, num_classes=num_classes)
+    z = jnp.zeros((1, module.dim_z))
+    y = jnp.zeros((1,), jnp.int32)
+    variables = module.init(jax.random.key(seed), z, y)
+    return module, variables
+
+
+def biggan128(num_classes: int = 1000, ch: int = 96):
+    """BigGAN-128 generator (module, variables)."""
+    return _build(128, ch, num_classes)
+
+
+def biggan256(num_classes: int = 1000, ch: int = 96):
+    """BigGAN-256 generator (module, variables)."""
+    return _build(256, ch, num_classes)
+
+
+def sample(module, variables, rng, labels, truncation: float = 1.0):
+    """Class-conditional sampling with the truncation trick.
+
+    Returns images in [-1, 1], channels-last (B, res, res, 3)."""
+    n = labels.shape[0]
+    z = jax.random.truncated_normal(rng, -2.0, 2.0,
+                                    (n, module.dim_z)) * truncation
+
+    @jax.jit
+    def gen(variables, z, labels):
+        return module.apply(variables, z, labels)
+
+    return gen(variables, z, jnp.asarray(labels))
