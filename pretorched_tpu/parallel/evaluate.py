@@ -42,6 +42,33 @@ def make_eval_step(model, mesh=None, topk=(1, 5)) -> Callable:
     return sharded_accuracy_step(model.module, mesh=mesh, topk=topk)
 
 
+def multi_clip_eval_step(module, mesh=None, topk=(1, 5)):
+    """10-clip (or N-clip) video evaluation: logits averaged over clips per
+    video, the batch x clip product sharded over the mesh's 'data' axis
+    (BASELINE config 4; the reference has no multi-clip eval loop — this is
+    the north-star capability).
+
+    step(variables, clips, labels): clips (B, N_clips, T, H, W, C)."""
+
+    def step(variables, clips, labels):
+        b, n = clips.shape[:2]
+        flat = clips.reshape((b * n,) + clips.shape[2:])
+        logits = module.apply(variables, flat)
+        logits = logits.reshape(b, n, -1).astype(jnp.float32)
+        probs = jax.nn.log_softmax(logits, axis=-1)
+        avg = jnp.mean(probs, axis=1)                 # consensus over clips
+        order = jnp.argsort(-avg, axis=1)[:, :max(topk)]
+        correct = order == labels[:, None]
+        out = {f'top{k}': jnp.sum(jnp.any(correct[:, :k], axis=1)) for k in topk}
+        out['count'] = jnp.asarray(b, jnp.int32)
+        return out
+
+    if mesh is None:
+        return jax.jit(step)
+    bsh = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(None, bsh, bsh))
+
+
 def place_model(model, mesh):
     """Shard a PretrainedModel's variables per the default policy (replicated
     params, TP classifier when mesh has a >1 'model' axis)."""

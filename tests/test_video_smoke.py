@@ -1,0 +1,54 @@
+"""Smoke tests across the video/audio families at tiny sizes + 10-clip eval."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import pretorched_tpu as p
+
+
+def test_slowfast_modes():
+    x = np.random.RandomState(0).randn(1, 3, 32, 64, 64).astype(np.float32)
+    for mode in ('sf', 's', 'f'):
+        m = p.models.slowfast.resnet18(mode=mode, num_classes=7, pretrained=None)
+        assert m(x).shape == (1, 7), mode
+
+
+def test_trn_consensus_heads():
+    x = np.random.RandomState(0).randn(1, 3, 8, 64, 64).astype(np.float32)
+    m = p.trn(num_classes=5, consensus='MSTRN', arch='resnet18', pretrained=None)
+    assert m(x).shape == (1, 5)
+    f = m.features(x)
+    assert f.shape[-1] == 1024     # video_feature_dim
+    assert np.asarray(m.logits(f)).shape == (1, 5)
+
+
+def test_nonlocal_resnet3d_tiny():
+    x = np.random.RandomState(0).randn(1, 3, 8, 32, 32).astype(np.float32)
+    m = p.nonlocalresnet3d18(num_classes=6, pretrained=None)
+    assert m(x).shape == (1, 6)
+
+
+def test_mvresnet_and_soundnet():
+    x = np.random.RandomState(0).randn(1, 3, 8, 32, 32).astype(np.float32)
+    m = p.mvresnet10(num_classes=4, pretrained=None)
+    assert m(x).shape == (1, 4)
+    wav = np.random.RandomState(0).randn(1, 1, 67724).astype(np.float32)
+    m = p.soundnet8(num_classes=11, pretrained=None)
+    assert m(wav).shape == (1, 11)
+
+
+def test_multi_clip_eval_sharded():
+    from pretorched_tpu.parallel import make_mesh
+    from pretorched_tpu.parallel.evaluate import multi_clip_eval_step
+
+    mesh = make_mesh()
+    m = p.resnet3d10(num_classes=6, pretrained=None)
+    step = multi_clip_eval_step(m.module, mesh=mesh)
+    clips = jnp.asarray(
+        np.random.RandomState(0).randn(8, 2, 4, 32, 32, 3), jnp.float32)
+    labels = jnp.asarray(np.arange(8) % 6)
+    out = jax.device_get(step(m.variables, clips, labels))
+    assert int(out['count']) == 8
+    assert 0 <= int(out['top1']) <= 8
