@@ -55,6 +55,25 @@ def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
     return jax.jit(step, in_shardings=(None, None, None, bsh, bsh, None))
 
 
+def finetune_mask(params, trainable_prefixes):
+    """Boolean pytree: True where the top-level param prefix is trainable.
+
+    The optax analog of the reference's ``get_fine_tuning_parameters``
+    (resnet3D.py:221-239: lr=0 for frozen groups). Use with
+    ``optax.masked(tx, finetune_mask(params, names))`` where ``names`` comes
+    from ``models.resnet3d.get_fine_tuning_parameter_names(ft_begin_index)``;
+    ``None`` means train everything."""
+    if trainable_prefixes is None:
+        return jax.tree_util.tree_map(lambda _: True, params)
+
+    def leaf_trainable(path, _):
+        keys = [str(getattr(p, 'key', p)) for p in path]
+        return any(k.startswith(pref) for k in keys
+                   for pref in trainable_prefixes)
+
+    return jax.tree_util.tree_map_with_path(leaf_trainable, params)
+
+
 def sgd_step_decay(lr: float = 0.1, momentum: float = 0.9,
                    weight_decay: float = 1e-4, decay_epochs: int = 30,
                    steps_per_epoch: int = 1) -> optax.GradientTransformation:
