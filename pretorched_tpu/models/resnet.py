@@ -61,6 +61,7 @@ class ResNet(nn.Module):
     stem_pool: str = 'pad'          # 'ceil' = caffe 3x3/2 pad0 ceil_mode pool
     logits_pool: str = 'global'     # 'avg7' = fixed AvgPool2d(7) head
     inner_width_mult: float = 1.0   # WideResNet: widen bottleneck 3x3 widths only
+    s2d_stem: bool = False          # fold the 7x7/2 stem via space-to-depth
     dtype: Any = None
 
     @property
@@ -112,8 +113,13 @@ class ResNet(nn.Module):
                  train: bool = False):
         block_fn = self._basic if self.block == 'basic' else self._bottleneck
         if mode in ('forward', 'features'):
-            x = conv2d(64, 7, stride=2, padding=3, bias=self.conv_bias,
-                       name='conv1', dtype=self.dtype)(x)
+            if self.s2d_stem and not self.conv_bias:
+                from .layers import SpaceToDepthConv
+                x = SpaceToDepthConv(64, 7, ndim=2, dtype=self.dtype,
+                                     name='conv1')(x)
+            else:
+                x = conv2d(64, 7, stride=2, padding=3, bias=self.conv_bias,
+                           name='conv1', dtype=self.dtype)(x)
             x = batch_norm(train=train, name='bn1', dtype=self.dtype)(x)
             x = relu(x)
             if self.stem_pool == 'ceil':

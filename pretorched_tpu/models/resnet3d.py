@@ -89,6 +89,7 @@ class VideoResNet(nn.Module):
     cardinality: int = 0          # >0: grouped 3x3x3 with resnext mid-width rule
     preact: bool = False
     factored: bool = False        # R(2+1)D spatio-temporal conv factorization
+    s2d_stem: bool = False        # fold the stride-(1,2,2) stem via space-to-depth
     dtype: Any = None
 
     # ------------------------------------------------------------------ convs
@@ -192,8 +193,13 @@ class VideoResNet(nn.Module):
                  train: bool = False):
         block_fn = self._basic if self.block == 'basic' else self._bottleneck
         if mode in ('forward', 'features'):
-            x = self._conv(x, 64, 7, 'conv1', stride=(1, 2, 2), padding=3,
-                           train=train)
+            if self.s2d_stem and not self.factored:
+                from .layers import SpaceToDepthConv
+                x = SpaceToDepthConv(64, 7, ndim=3, dtype=self.dtype,
+                                     name='conv1')(x)
+            else:
+                x = self._conv(x, 64, 7, 'conv1', stride=(1, 2, 2), padding=3,
+                               train=train)
             x = relu(self._bn(x, 'bn1', train))
             x = max_pool(x, 3, 2, 1)
             inplanes = 64

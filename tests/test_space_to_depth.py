@@ -1,0 +1,43 @@
+"""Exactness of space-to-depth stem folding vs the direct strided conv."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pretorched_tpu.ops.space_to_depth import (fold_stem_kernel_2d,
+                                               fold_stem_kernel_3d,
+                                               space_to_depth_2d)
+
+
+def _conv(x, k, strides, padding, dims):
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=strides, padding=padding, dimension_numbers=dims)
+
+
+def test_s2d_2d_exact():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 224, 224, 3), jnp.float32)
+    k = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.05, jnp.float32)
+    direct = _conv(x, k, (2, 2), [(3, 3), (3, 3)], ('NHWC', 'HWIO', 'NHWC'))
+    xf = space_to_depth_2d(x)
+    kf = fold_stem_kernel_2d(k)
+    folded = _conv(xf, kf, (1, 1), [(0, 0), (0, 0)], ('NHWC', 'HWIO', 'NHWC'))
+    assert folded.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(direct),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_3d_exact():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 64, 64, 3), jnp.float32)
+    k = jnp.asarray(rng.randn(7, 7, 7, 3, 16) * 0.05, jnp.float32)
+    direct = _conv(x, k, (1, 2, 2), [(3, 3), (3, 3), (3, 3)],
+                   ('NDHWC', 'DHWIO', 'NDHWC'))
+    xf = space_to_depth_2d(x)                  # folds the trailing H, W dims
+    kf = fold_stem_kernel_3d(k)
+    folded = _conv(xf, kf, (1, 1, 1), [(3, 3), (0, 0), (0, 0)],
+                   ('NDHWC', 'DHWIO', 'NDHWC'))
+    assert folded.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(direct),
+                               rtol=1e-4, atol=1e-4)

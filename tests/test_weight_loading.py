@@ -1,0 +1,61 @@
+"""End-to-end pretrained-loading flow: .pth in cache -> convert -> msgpack
+cache -> identical logits on reload (zoo/io.py integration)."""
+
+import numpy as np
+import torch
+import torch.nn as tnn
+
+import pretorched_tpu
+
+
+def test_pth_convert_and_cache(tmp_path, monkeypatch):
+    monkeypatch.setenv('PRETORCHED_HOME', str(tmp_path))
+
+    # a torch state_dict with exactly resnet18's keys/shapes (random values):
+    # build it from our own param template via the converter's key mapping.
+    from pretorched_tpu.models.resnet import TORCH_RENAMES
+    from pretorched_tpu.zoo import convert, io
+
+    template = pretorched_tpu.resnet18(num_classes=1000, pretrained=None)
+    flat = convert.flatten_variables(template.variables)
+    gen = np.random.RandomState(0)
+    sd = {}
+    for path, leaf in flat.items():
+        tkey = convert.torch_key_for(path, TORCH_RENAMES)
+        if tkey is None:
+            continue
+        shape = np.shape(leaf)
+        # invert the layout transpose to produce torch-shaped tensors
+        if path[-1] == 'kernel' and len(shape) == 4:
+            tshape = (shape[3], shape[2], shape[0], shape[1])
+        elif path[-1] == 'kernel' and len(shape) == 2:
+            tshape = (shape[1], shape[0])
+        else:
+            tshape = shape
+        if path[-1] == 'var':
+            sd[tkey] = torch.from_numpy(
+                gen.rand(*tshape).astype(np.float32) + 0.5)
+        else:
+            sd[tkey] = torch.from_numpy(
+                gen.randn(*tshape).astype(np.float32) * 0.05)
+
+    weights_dir = tmp_path / 'weights'
+    weights_dir.mkdir(parents=True)
+    url = pretorched_tpu.pretrained_settings['resnet18']['imagenet']['url']
+    torch.save(sd, weights_dir / url.rsplit('/', 1)[-1])
+
+    # first load: converts the .pth and writes the msgpack cache
+    m1 = pretorched_tpu.resnet18(num_classes=1000, pretrained='imagenet')
+    assert io.converted_path('resnet18', 'imagenet').exists()
+    # second load: hits the converted cache
+    m2 = pretorched_tpu.resnet18(num_classes=1000, pretrained='imagenet')
+
+    x = np.random.RandomState(1).randn(1, 3, 64, 64).astype(np.float32)
+    y1, y2 = np.asarray(m1(x)), np.asarray(m2(x))
+    np.testing.assert_allclose(y1, y2, rtol=1e-6, atol=1e-6)
+    # loaded weights actually differ from random init
+    init = pretorched_tpu.resnet18(num_classes=1000, pretrained=None)
+    assert np.abs(np.asarray(init(x)) - y1).max() > 1e-3
+    # metadata stamped (reference: load_pretrained)
+    assert m1.input_size == [3, 224, 224]
+    assert m1.mean == [0.485, 0.456, 0.406]
