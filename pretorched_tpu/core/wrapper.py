@@ -109,6 +109,7 @@ class PretrainedModel:
         self.data_format = data_format
         self._jit_cache: Dict[Any, Callable] = {}
         self.training = False
+        self._step = 0
         if settings is not None:
             self.input_space = settings['input_space']
             self.input_size = settings['input_size']
@@ -194,7 +195,9 @@ class PretrainedModel:
 
     # ------------------------------------------------------------------ apply
     def _apply_fn(self, mode: str) -> Callable:
-        key = (mode, self._head_enabled, self.data_format, id(self.module))
+        training = self.training
+        key = (mode, self._head_enabled, self.data_format, training,
+               id(self.module))
         fn = self._jit_cache.get(key)
         if fn is None:
             module = self.module
@@ -202,27 +205,43 @@ class PretrainedModel:
             cf = self.data_format == 'channels_first'
 
             @jax.jit
-            def run(variables, x):
+            def run(variables, x, rng):
                 if cf:
                     x = to_channels_last(x)
-                y = module.apply(variables, x, mode=mode, head=head)
+                if training:
+                    y, updates = module.apply(
+                        variables, x, mode=mode, head=head, train=True,
+                        mutable=['batch_stats'], rngs={'dropout': rng})
+                else:
+                    y, updates = module.apply(variables, x, mode=mode,
+                                              head=head), None
                 if cf and mode == 'features':
                     y = to_channels_first(y)
-                return y
+                return y, updates
 
             fn = run
             self._jit_cache[key] = fn
         return fn
 
+    def _run(self, mode, x):
+        rng = jax.random.fold_in(jax.random.key(0), self._step)
+        y, updates = self._apply_fn(mode)(self.variables, jnp.asarray(x), rng)
+        if updates:
+            # torch-like train(): running BN stats update in place
+            self.variables = dict(self.variables, **updates)
+        if self.training:
+            self._step += 1
+        return y
+
     def features(self, x):
         """Backbone features (channels-first out, matching the reference)."""
-        return self._apply_fn('features')(self.variables, jnp.asarray(x))
+        return self._run('features', x)
 
     def logits(self, features):
-        return self._apply_fn('logits')(self.variables, jnp.asarray(features))
+        return self._run('logits', features)
 
     def forward(self, x):
-        return self._apply_fn('forward')(self.variables, jnp.asarray(x))
+        return self._run('forward', x)
 
     __call__ = forward
 
