@@ -21,7 +21,6 @@ drops the final linear from the ``logits`` path.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax

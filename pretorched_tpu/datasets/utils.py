@@ -8,7 +8,6 @@ AveragePrecisionMeter :86-199) without torch: metrics accumulate in numpy
 
 from __future__ import annotations
 
-import math
 import os
 from typing import List, Optional
 

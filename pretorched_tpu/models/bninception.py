@@ -15,7 +15,7 @@ a config table. Parity notes:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..core.registry import image_settings, register_model, register_settings
-from ..ops.pooling import (adaptive_avgmax_pool2d, avg_pool, global_avg_pool,
-                           adaptive_max_pool, max_pool)
+from ..ops.pooling import (adaptive_avgmax_pool2d, avg_pool,
+                           global_avg_pool, max_pool)
 from .layers import batch_norm, conv2d, relu
 
 _MEAN = (124 / 255, 117 / 255, 104 / 255)

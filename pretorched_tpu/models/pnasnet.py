@@ -10,7 +10,7 @@ for 'imagenet' (pnasnet.py:384-391).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -10,7 +10,7 @@ linearly 1 -> 0.7 across the net. Eval resize 378 -> center 331 crop
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

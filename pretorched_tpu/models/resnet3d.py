@@ -25,14 +25,13 @@ casing.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
 
 from ..core.registry import image_settings, register_model, register_settings
-from ..ops.pooling import avg_pool, global_avg_pool, max_pool
+from ..ops.pooling import global_avg_pool, max_pool
 from .layers import batch_norm, conv3d, dense, kaiming_normal_out, relu
 
 

@@ -8,7 +8,7 @@ pool, so our wrapper is built with ``head_path=None``.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 

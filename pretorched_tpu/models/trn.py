@@ -23,7 +23,7 @@ SURVEY §2.6); we provide the working capability.
 from __future__ import annotations
 
 import itertools
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ shapes and fuses the (constant) divisor math away.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Sequence
 
 import jax

@@ -18,7 +18,6 @@ Applies to any odd kernel k with pad k//2 and stride 2.
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 

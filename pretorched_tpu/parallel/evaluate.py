@@ -8,7 +8,7 @@ the batch x clip product the same way.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ grad averaging into a psum over ICI.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ hook (pretorched/utils.py:129-138). JAX-native equivalents:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
