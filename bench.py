@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 VS_BASELINE_CLIPS_PER_SEC = 100.0
 
-BATCH = int(os.environ.get('BENCH_BATCH', '64'))
+BATCH = int(os.environ.get('BENCH_BATCH', '128'))
 FRAMES = int(os.environ.get('BENCH_FRAMES', '16'))
 SIZE = int(os.environ.get('BENCH_SIZE', '224'))
 ITERS = int(os.environ.get('BENCH_ITERS', '20'))
