@@ -116,6 +116,27 @@ def nonlocal_attention_reference(q, k, v, scale: float = 1.0):
     return jnp.einsum('bnm,bmc->bnc', p, v.astype(jnp.float32)).astype(q.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _nonlocal_attention_ad(q, k, v, scale):
+    return nonlocal_attention(q, k, v, scale=scale)
+
+
+def _nl_fwd(q, k, v, scale):
+    return nonlocal_attention(q, k, v, scale=scale), (q, k, v)
+
+
+def _nl_bwd(scale, res, g):
+    # Backward via the reference formulation (materializes N x N for the
+    # gradient; a blockwise backward kernel is future work). Forward memory —
+    # the usual bottleneck during eval/serving — stays streaming.
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: nonlocal_attention_reference(
+        a, b, c, scale=scale), q, k, v)
+    return vjp(g)
+
+
+_nonlocal_attention_ad.defvjp(_nl_fwd, _nl_bwd)
+
 # Below this sequence length the full N x N affinity fits HBM comfortably and
 # XLA's fused matmul+softmax is as fast as the streaming kernel (measured on
 # v5e: N=3136 naive 11.0ms vs pallas 12.4ms); above it, memory forces the
@@ -124,10 +145,10 @@ PALLAS_MIN_N = 4096
 
 
 def auto_nonlocal_attention(q, k, v, scale: float = 1.0):
-    """Blockwise Pallas kernel on TPU for long sequences; XLA einsum
-    otherwise."""
+    """Blockwise Pallas kernel on TPU for long sequences (differentiable via
+    custom VJP); XLA einsum otherwise."""
     if jax.default_backend() == 'tpu' and q.shape[1] >= PALLAS_MIN_N:
-        return nonlocal_attention(q, k, v, scale=scale)
+        return _nonlocal_attention_ad(q, k, v, scale)
     return nonlocal_attention_reference(q, k, v, scale=scale)
 
 
