@@ -38,6 +38,8 @@ def parse_args():
     p.add_argument('--pretrained', default='imagenet',
                    help="pretrained dataset tag or 'none'")
     p.add_argument('--scale', default=0.875, type=float)
+    p.add_argument('--fast-pipeline', action='store_true',
+                   help='native C++ JPEG decode + fused device preprocessing')
     p.add_argument('--cpu', action='store_true')
     return p.parse_args()
 
@@ -84,13 +86,21 @@ def main():
 
     eval_step = make_eval_step(model, mesh=mesh)
 
+    def val_batches():
+        if args.fast_pipeline:
+            from pretorched_tpu.datasets.folder import fast_eval_batches
+            yield from fast_eval_batches(valdir, settings, args.batch_size,
+                                         num_threads=args.workers)
+        else:
+            for images, labels in batch_iterator(
+                    val_set, args.batch_size, num_workers=args.workers):
+                yield to_channels_last(jnp.asarray(images)), labels
+
     def validate():
         batch_time, losses, top1, top5 = (AverageMeter() for _ in range(4))
         end = time.time()
-        for i, (images, labels) in enumerate(batch_iterator(
-                val_set, args.batch_size, num_workers=args.workers)):
-            x = to_channels_last(jnp.asarray(images))
-            out = jax.device_get(eval_step(model.variables, x,
+        for i, (x, labels) in enumerate(val_batches()):
+            out = jax.device_get(eval_step(model.variables, jnp.asarray(x),
                                            jnp.asarray(labels)))
             n = int(out['count'])
             losses.update(float(out['loss']) / n, n)
