@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Multi-clip video evaluation CLI (Kinetics/Moments-style).
+
+The north-star capability beyond the reference (BASELINE configs 3-4): N-clip
+consensus evaluation of a video model, sharded over the TPU mesh. Expects the
+common frame-folder layout:
+
+    root/<class_name>/<video_id>/{frame_00001.jpg, ...}
+
+Each video is sampled as ``--clips`` clips of ``--frames`` frames (uniform
+temporal stride), decoded with the native JPEG decoder, preprocessed on
+device, and scored with log-softmax consensus over clips.
+
+Usage:
+    python examples/video_eval.py /data/kinetics/val -a resnet3d50 \
+        --pretrained kinetics-400 --frames 16 --clips 10
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np  # noqa: E402
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Multi-clip video eval (TPU)')
+    p.add_argument('data', help='root with class/video/frame.jpg layout')
+    p.add_argument('--arch', '-a', default='resnet3d50')
+    p.add_argument('--pretrained', default='kinetics-400')
+    p.add_argument('--num-classes', default=400, type=int)
+    p.add_argument('--frames', default=16, type=int)
+    p.add_argument('--clips', default=10, type=int)
+    p.add_argument('--batch-size', '-b', default=4, type=int,
+                   help='videos per step (x clips = clip batch)')
+    p.add_argument('--size', default=224, type=int)
+    p.add_argument('--workers', '-j', default=8, type=int)
+    p.add_argument('--print-freq', default=10, type=int)
+    p.add_argument('--cpu', action='store_true')
+    return p.parse_args()
+
+
+def list_videos(root):
+    classes = sorted(d.name for d in os.scandir(root) if d.is_dir())
+    class_to_idx = {c: i for i, c in enumerate(classes)}
+    videos = []
+    for c in classes:
+        cdir = os.path.join(root, c)
+        for v in sorted(os.scandir(cdir), key=lambda d: d.name):
+            if v.is_dir():
+                frames = sorted(
+                    os.path.join(v.path, f) for f in os.listdir(v.path)
+                    if f.lower().endswith(('.jpg', '.jpeg', '.png')))
+                if frames:
+                    videos.append((frames, class_to_idx[c]))
+    return videos, classes
+
+
+def sample_clips(frames, num_clips, clip_len):
+    """Uniformly-spaced clip starts, frames within a clip are consecutive
+    (looped when the video is short)."""
+    n = len(frames)
+    starts = np.linspace(0, max(n - clip_len, 0), num_clips).astype(int)
+    return [[frames[min(s + t, n - 1)] for t in range(clip_len)]
+            for s in starts]
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+
+    import jax
+    import jax.numpy as jnp
+
+    import pretorched_tpu as pretorched
+    from pretorched_tpu.datasets.native import decode_jpeg_files
+    from pretorched_tpu.parallel import make_mesh
+    from pretorched_tpu.parallel.evaluate import multi_clip_eval_step
+    from pretorched_tpu.transforms.fused import fused_preprocess
+    from pretorched_tpu.utils import AverageMeter
+
+    pretrained = None if args.pretrained in ('none', '') else args.pretrained
+    print(f"=> creating '{args.arch}' (pretrained={pretrained})")
+    model = pretorched.__dict__[args.arch](
+        num_classes=args.num_classes, pretrained=pretrained)
+    model.eval().bfloat16()
+    settings = (model.settings or
+                {'input_space': 'RGB', 'input_size': [3, args.size, args.size],
+                 'input_range': [0, 1], 'mean': [0.485, 0.456, 0.406],
+                 'std': [0.229, 0.224, 0.225]})
+
+    mesh = make_mesh()
+    step = multi_clip_eval_step(model.module, mesh=mesh)
+    videos, classes = list_videos(args.data)
+    print(f'=> {len(videos)} videos, {len(classes)} classes, '
+          f'{args.clips}x{args.frames}f clips, mesh {dict(mesh.shape)}')
+
+    top1, top5 = AverageMeter(), AverageMeter()
+    batch_clips, batch_labels = [], []
+
+    def flush(i):
+        if not batch_clips:
+            return
+        clips = jnp.stack(batch_clips)          # (B, N, T, S, S, 3)
+        labels = jnp.asarray(batch_labels)
+        out = jax.device_get(step(model.variables, clips, labels))
+        n = int(out['count'])
+        top1.update(100.0 * float(out['top1']) / n, n)
+        top5.update(100.0 * float(out['top5']) / n, n)
+        batch_clips.clear()
+        batch_labels.clear()
+        if i % args.print_freq == 0:
+            print(f'Video: [{i}]\tAcc@1 {top1.avg:.3f}\tAcc@5 {top5.avg:.3f}')
+
+    for i, (frames, label) in enumerate(videos):
+        clip_paths = sample_clips(frames, args.clips, args.frames)
+        flat = [p for clip in clip_paths for p in clip]
+        arrays = decode_jpeg_files(flat, threads=args.workers)
+        # one fused preprocess per clip (device-side resize/crop/normalize)
+        clips = []
+        for c in range(args.clips):
+            frames_u8 = np.stack(
+                arrays[c * args.frames:(c + 1) * args.frames])
+            clips.append(fused_preprocess(frames_u8, settings))
+        batch_clips.append(jnp.stack(clips))
+        batch_labels.append(label)
+        if len(batch_clips) == args.batch_size:
+            flush(i)
+    flush(len(videos))
+    print(f' * Acc@1 {top1.avg:.3f} Acc@5 {top5.avg:.3f}')
+
+
+if __name__ == '__main__':
+    main()
