@@ -63,19 +63,29 @@ def main():
         _, outs = jax.lax.scan(body, clip, None, length=ITERS)
         return jnp.sum(outs.astype(jnp.float32))
 
-    clip = jnp.asarray(
-        np.random.RandomState(0).rand(BATCH, FRAMES, SIZE, SIZE, 3),
-        jnp.bfloat16)
-
-    t0 = time.perf_counter()
-    jax.device_get(forward_many(variables, clip))   # compile + first run
-    print(f'# compile+first: {time.perf_counter() - t0:.1f}s', file=sys.stderr)
+    batch = BATCH
+    while True:
+        clip = jnp.asarray(
+            np.random.RandomState(0).rand(batch, FRAMES, SIZE, SIZE, 3),
+            jnp.bfloat16)
+        try:
+            t0 = time.perf_counter()
+            jax.device_get(forward_many(variables, clip))  # compile + first
+            print(f'# b{batch} compile+first: {time.perf_counter() - t0:.1f}s',
+                  file=sys.stderr)
+            break
+        except Exception as e:  # noqa: BLE001 — OOM insurance: halve batch
+            if batch <= 4:
+                raise
+            print(f'# b{batch} failed ({type(e).__name__}); retrying b{batch//2}',
+                  file=sys.stderr)
+            batch //= 2
 
     t0 = time.perf_counter()
     jax.device_get(forward_many(variables, clip))
     dt = (time.perf_counter() - t0) / ITERS
 
-    clips_per_sec = BATCH / dt
+    clips_per_sec = batch / dt
     print(json.dumps({
         'metric': f'resnet3d50 {FRAMES}f{SIZE}px bf16 clips/sec/chip',
         'value': round(clips_per_sec, 2),
