@@ -50,3 +50,25 @@ def test_preprocess_clip():
     frames = np.random.RandomState(0).randint(0, 255, (8, 256, 320, 3), np.uint8)
     out = np.asarray(preprocess_clip(frames, SETTINGS, channels_last=False))
     assert out.shape == (1, 3, 8, 224, 224)
+
+
+def test_fast_eval_batches(tmp_path):
+    import os
+
+    from PIL import Image as PILImage
+
+    from pretorched_tpu.datasets.folder import fast_eval_batches
+
+    rng = np.random.RandomState(0)
+    for cls in ('a', 'b'):
+        d = tmp_path / 'val' / cls
+        os.makedirs(d)
+        for i in range(3):
+            PILImage.fromarray(rng.randint(0, 255, (200 + 10 * i, 260, 3),
+                                           np.uint8)).save(d / f'{i}.jpg')
+    total = 0
+    for batch, labels in fast_eval_batches(str(tmp_path / 'val'), SETTINGS, 4):
+        assert batch.shape[1:] == (224, 224, 3)
+        assert len(labels) == batch.shape[0]
+        total += batch.shape[0]
+    assert total == 6
