@@ -40,6 +40,8 @@ def parse_args():
     p.add_argument('--scale', default=0.875, type=float)
     p.add_argument('--fast-pipeline', action='store_true',
                    help='native C++ JPEG decode + fused device preprocessing')
+    p.add_argument('--no-preserve-aspect-ratio', action='store_true',
+                   help='square resize before crop (polynet eval, README.md:276)')
     p.add_argument('--cpu', action='store_true')
     return p.parse_args()
 
@@ -79,7 +81,8 @@ def main():
         with open(args.resume, 'rb') as f:
             model.variables = serialization.from_bytes(model.variables, f.read())
 
-    val_tf = TransformImage(settings, scale=scale)
+    val_tf = TransformImage(settings, scale=scale,
+                            preserve_aspect_ratio=not args.no_preserve_aspect_ratio)
     valdir = os.path.join(args.data, 'val')
     val_set = ImageFolder(valdir, transform=val_tf)
     print(f'=> {len(val_set)} val images')
