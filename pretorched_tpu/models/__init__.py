@@ -36,6 +36,7 @@ from .preact_resnet3d import (preact_resnet3d10, preact_resnet3d18,  # noqa: F40
 from .r2plus1d import (r2plus1d10, r2plus1d18, r2plus1d34, r2plus1d50,  # noqa: F401
                        r2plus1d101, r2plus1d152, r2plus1d200)
 from . import slowfast  # noqa: F401  (reference exports pretorched.slowfast submodule)
+from .slowfast import SlowFastV0  # noqa: F401
 from .densenet3d import (densenet3d121, densenet3d169, densenet3d201,  # noqa: F401
                          densenet3d264)
 from .multiview import mvresnet10, mvresnet18, mvresnet34, mvresnet50  # noqa: F401

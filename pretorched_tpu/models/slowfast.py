@@ -178,6 +178,17 @@ class SlowFast(nn.Module):
         return x
 
 
+def SlowFastV0(block: str = 'bottleneck', layers=(3, 4, 6, 3),
+               num_classes: int = 10, dropout: float = 0.5, **kwargs):
+    """The reference's monolithic variant (slowfast.py:399-575) — the same
+    two-pathway network with flat attribute naming and a fixed res3 stride;
+    for the bottleneck configs it is built with, the compute graph matches
+    ``SlowFast(mode='sf')``, which we return. No hosted weights exist for
+    either variant."""
+    return SlowFast(block=block, layers=layers, num_classes=num_classes,
+                    mode='sf', dropout_rate=dropout, **kwargs)
+
+
 _LAYERS = {
     'resnet18': ('basic', (2, 2, 2, 2)),
     'resnet50': ('bottleneck', (3, 4, 6, 3)),
