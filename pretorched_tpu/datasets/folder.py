@@ -65,9 +65,10 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
     if drop_last and batches and len(batches[-1]) < batch_size:
         batches.pop()
 
+    executor = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+
     def load_batch(idxs):
-        with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as ex:
-            items = list(ex.map(dataset.__getitem__, idxs))
+        items = list(executor.map(dataset.__getitem__, idxs))
         imgs = np.stack([np.asarray(x) for x, _ in items])
         labels = np.asarray([y for _, y in items], np.int64)
         return imgs, labels
