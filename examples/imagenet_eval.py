@@ -48,17 +48,17 @@ def parse_args():
 
 def main():
     args = parse_args()
-    if args.cpu:
-        os.environ['JAX_PLATFORMS'] = 'cpu'
-
     import jax
+    if args.cpu:
+        # env-var overrides don't stick here (site hook); use the config API
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
 
     import pretorched_tpu as pretorched
     from pretorched_tpu.core.wrapper import to_channels_last
     from pretorched_tpu.datasets.folder import ImageFolder, batch_iterator
     from pretorched_tpu.parallel import make_mesh, make_train_step
-    from pretorched_tpu.parallel.evaluate import make_eval_step
+    from pretorched_tpu.parallel.evaluate import make_eval_step, pad_batch
     from pretorched_tpu.transforms import TransformImage
     from pretorched_tpu.utils import AverageMeter
     from pretorched_tpu.zoo import io as zoo_io
@@ -103,6 +103,10 @@ def main():
         batch_time, losses, top1, top5 = (AverageMeter() for _ in range(4))
         end = time.time()
         for i, (x, labels) in enumerate(val_batches()):
+            # ragged batches (size-bucketed fast pipeline, final flush) are
+            # padded to the sharding multiple; label -1 rows are masked out
+            x, labels = pad_batch(jnp.asarray(x), np.asarray(labels),
+                                  mesh.shape.get('data', 1))
             out = jax.device_get(eval_step(model.variables, jnp.asarray(x),
                                            jnp.asarray(labels)))
             n = int(out['count'])

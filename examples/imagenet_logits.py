@@ -32,6 +32,8 @@ def main():
 
     if args.cpu:
         os.environ['JAX_PLATFORMS'] = 'cpu'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     import pretorched_tpu as pretorched
     from pretorched_tpu.datasets.utils import load_imagenet_classes

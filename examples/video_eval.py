@@ -69,16 +69,16 @@ def sample_clips(frames, num_clips, clip_len):
 
 def main():
     args = parse_args()
-    if args.cpu:
-        os.environ['JAX_PLATFORMS'] = 'cpu'
-
     import jax
+    if args.cpu:
+        # env-var overrides don't stick here (site hook); use the config API
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
 
     import pretorched_tpu as pretorched
     from pretorched_tpu.datasets.native import decode_jpeg_files
     from pretorched_tpu.parallel import make_mesh
-    from pretorched_tpu.parallel.evaluate import multi_clip_eval_step
+    from pretorched_tpu.parallel.evaluate import multi_clip_eval_step, pad_batch
     from pretorched_tpu.transforms.fused import fused_preprocess
     from pretorched_tpu.utils import AverageMeter
 
@@ -98,22 +98,38 @@ def main():
     print(f'=> {len(videos)} videos, {len(classes)} classes, '
           f'{args.clips}x{args.frames}f clips, mesh {dict(mesh.shape)}')
 
-    top1, top5 = AverageMeter(), AverageMeter()
+    import time
+    batch_time, losses, top1, top5 = (AverageMeter() for _ in range(4))
     batch_clips, batch_labels = [], []
+    t_last = time.time()
 
     def flush(i):
+        nonlocal t_last
         if not batch_clips:
             return
-        clips = jnp.stack(batch_clips)          # (B, N, T, S, S, 3)
-        labels = jnp.asarray(batch_labels)
-        out = jax.device_get(step(model.variables, clips, labels))
+        # pad ragged final batches to the sharding multiple (label -1 rows
+        # are masked out of the metric sums by the eval step)
+        clips, labels = pad_batch(jnp.stack(batch_clips),
+                                  np.asarray(batch_labels),
+                                  mesh.shape.get('data', 1))
+        out = jax.device_get(step(model.variables, jnp.asarray(clips),
+                                  jnp.asarray(labels)))
         n = int(out['count'])
+        losses.update(float(out['loss']) / n, n)
         top1.update(100.0 * float(out['top1']) / n, n)
         top5.update(100.0 * float(out['top5']) / n, n)
         batch_clips.clear()
         batch_labels.clear()
+        batch_time.update(time.time() - t_last)
+        t_last = time.time()
         if i % args.print_freq == 0:
-            print(f'Video: [{i}]\tAcc@1 {top1.avg:.3f}\tAcc@5 {top5.avg:.3f}')
+            # same meter-line format as the reference validate()
+            # (imagenet_eval.py:241-251)
+            print(f'Test: [{i}/{len(videos)}]\t'
+                  f'Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t'
+                  f'Loss {losses.val:.4f} ({losses.avg:.4f})\t'
+                  f'Acc@1 {top1.val:.3f} ({top1.avg:.3f})\t'
+                  f'Acc@5 {top5.val:.3f} ({top5.avg:.3f})')
 
     for i, (frames, label) in enumerate(videos):
         clip_paths = sample_clips(frames, args.clips, args.frames)

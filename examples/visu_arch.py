@@ -29,6 +29,8 @@ def main():
     args = p.parse_args()
     if args.cpu:
         os.environ['JAX_PLATFORMS'] = 'cpu'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     import jax
 

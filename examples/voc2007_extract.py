@@ -80,6 +80,8 @@ def main():
     args = parse_args()
     if args.cpu:
         os.environ['JAX_PLATFORMS'] = 'cpu'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     import pretorched_tpu as pretorched
     from pretorched_tpu.datasets.voc import Voc2007Classification

@@ -153,8 +153,12 @@ def auto_nonlocal_attention(q, k, v, scale: float = 1.0):
 
 
 def linear_nonlocal_attention(q, k, v):
-    """(q @ k^T @ v) / N via associativity — the reference's dot_product mode
-    (nonlocalnet.py:192-210) is linear, so O(N^2) never needs to exist."""
-    n = q.shape[1]
+    """(q @ k^T @ v) / N_keys via associativity — the reference's dot_product
+    mode (nonlocalnet.py:192-210) is linear, so O(N^2) never needs to exist.
+
+    The divisor is the KEY count (reference divides by ``f.size(-1)``,
+    nonlocalnet.py:208), which differs from the query count when
+    ``sub_sample`` max-pools phi/g."""
+    n = k.shape[1]
     kv = jnp.einsum('bmc,bmd->bcd', k, v.astype(jnp.float32))
     return (jnp.einsum('bnc,bcd->bnd', q.astype(jnp.float32), kv) / n).astype(q.dtype)

@@ -4,6 +4,13 @@ Replaces the reference's DataParallel eval loop (imagenet_eval.py:211-253)
 with a jit-compiled step whose batch is sharded over the mesh's 'data' axis;
 XLA reduces the metric sums over ICI. Multi-clip video eval (10-clip) shards
 the batch x clip product the same way.
+
+Uneven batches: ``in_shardings=P('data')`` needs the batch divisible by the
+mesh's data-axis size, but real loaders yield ragged final batches.  All
+steps here treat ``label == -1`` as padding (masked out of every metric sum,
+including 'count'), and ``pad_batch`` pads a host batch up to the next
+multiple with -1 labels.  Padding to a fixed multiple also keeps the number
+of distinct compiled shapes bounded.
 """
 
 from __future__ import annotations
@@ -12,8 +19,39 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .mesh import batch_sharding, model_shardings
+
+
+def pad_batch(x, labels, multiple: int):
+    """Pad (x, labels) along axis 0 to a multiple of ``multiple``.
+
+    Padded rows get label -1, which every eval step here masks out.  No-op
+    when already divisible. Device arrays stay on device."""
+    n = len(labels)
+    if multiple <= 1 or n % multiple == 0:
+        return x, labels
+    pad = multiple - n % multiple
+    xp = jnp if isinstance(x, jax.Array) else np
+    x = xp.concatenate([x, xp.zeros((pad,) + tuple(x.shape[1:]), x.dtype)])
+    labels = np.concatenate([np.asarray(labels),
+                             np.full((pad,), -1, np.asarray(labels).dtype)])
+    return x, labels
+
+
+def _masked_metrics(logits, labels, topk):
+    """top-k correct sums + NLL sum + count, rows with label -1 masked out."""
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    loss = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+    order = jnp.argsort(-logits, axis=1)[:, :max(topk)]
+    correct = (order == safe[:, None]) & valid[:, None]
+    out = {f'top{k}': jnp.sum(jnp.any(correct[:, :k], axis=1)) for k in topk}
+    out['loss'] = jnp.sum(jnp.where(valid, loss, 0.0))
+    out['count'] = jnp.sum(valid.astype(jnp.int32))
+    return out
 
 
 def sharded_accuracy_step(module, mesh=None, topk=(1, 5)):
@@ -22,14 +60,7 @@ def sharded_accuracy_step(module, mesh=None, topk=(1, 5)):
 
     def step(variables, x, labels):
         logits = module.apply(variables, x)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
-        loss = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-        order = jnp.argsort(-logits, axis=1)[:, :max(topk)]
-        correct = order == labels[:, None]
-        out = {f'top{k}': jnp.sum(jnp.any(correct[:, :k], axis=1)) for k in topk}
-        out['loss'] = jnp.sum(loss)
-        out['count'] = jnp.asarray(labels.shape[0], jnp.int32)
-        return out
+        return _masked_metrics(logits, labels, topk)
 
     if mesh is None:
         return jax.jit(step)
@@ -43,25 +74,24 @@ def make_eval_step(model, mesh=None, topk=(1, 5)) -> Callable:
 
 
 def multi_clip_eval_step(module, mesh=None, topk=(1, 5)):
-    """10-clip (or N-clip) video evaluation: logits averaged over clips per
-    video, the batch x clip product sharded over the mesh's 'data' axis
-    (BASELINE config 4; the reference has no multi-clip eval loop — this is
-    the north-star capability).
+    """10-clip (or N-clip) video evaluation, the batch x clip product sharded
+    over the mesh's 'data' axis (BASELINE config 4; the reference has no
+    multi-clip eval loop — this is the north-star capability).
 
-    step(variables, clips, labels): clips (B, N_clips, T, H, W, C)."""
+    Consensus: per-clip softmax probabilities are arithmetically averaged
+    over clips; accuracy and loss (NLL of the consensus probability) come
+    from that average. step(variables, clips, labels): clips
+    (B, N_clips, T, H, W, C); label -1 rows are padding.
+    """
 
     def step(variables, clips, labels):
         b, n = clips.shape[:2]
         flat = clips.reshape((b * n,) + clips.shape[2:])
         logits = module.apply(variables, flat)
         logits = logits.reshape(b, n, -1).astype(jnp.float32)
-        probs = jax.nn.log_softmax(logits, axis=-1)
-        avg = jnp.mean(probs, axis=1)                 # consensus over clips
-        order = jnp.argsort(-avg, axis=1)[:, :max(topk)]
-        correct = order == labels[:, None]
-        out = {f'top{k}': jnp.sum(jnp.any(correct[:, :k], axis=1)) for k in topk}
-        out['count'] = jnp.asarray(b, jnp.int32)
-        return out
+        probs = jnp.mean(jax.nn.softmax(logits, axis=-1), axis=1)
+        logp = jnp.log(jnp.maximum(probs, 1e-30))
+        return _masked_metrics(logp, labels, topk)
 
     if mesh is None:
         return jax.jit(step)

@@ -34,6 +34,14 @@ class TorchNL3D(tnn.Module):
         if self.sub:
             g_x = F.max_pool3d(g_x, 2)
         g_x = g_x.view(b, self.inter, -1).permute(0, 2, 1)
+        if self.mode == 'dot_product' and self.sub:
+            theta = self.theta(x).view(b, self.inter, -1).permute(0, 2, 1)
+            phi = F.max_pool3d(self.phi(x), 2).reshape(b, self.inter, -1)
+            f = torch.matmul(theta, phi)
+            fdc = f / f.size(-1)   # divides by KEY count (nonlocalnet.py:208)
+            y = torch.matmul(fdc, g_x).permute(0, 2, 1).contiguous()
+            y = y.view(b, self.inter, *x.shape[2:])
+            return self.Wbn(self.W0(y)) + x
         if self.mode == 'gaussian':
             theta = x.view(b, self.c, -1).permute(0, 2, 1)
             phi_in = F.max_pool3d(x, 2) if self.sub else x
@@ -89,10 +97,12 @@ def test_nonlocal_block_parity(mode):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
-def test_nonlocal_sub_sample_parity():
+@pytest.mark.parametrize('mode', ['embedded_gaussian', 'dot_product'])
+def test_nonlocal_sub_sample_parity(mode):
     c = 16
-    tm = TorchNL3D(c, 'embedded_gaussian', sub_sample=True).eval()
-    module = NonLocalBlock(in_channels=c, dimension=3, sub_sample=True)
+    tm = TorchNL3D(c, mode, sub_sample=True).eval()
+    module = NonLocalBlock(in_channels=c, dimension=3, sub_sample=True,
+                           mode=mode)
     variables = dict(module.init(jax.random.key(0),
                                  np.zeros((1, 4, 6, 6, c), np.float32)))
     sd = {k: v.numpy() for k, v in tm.state_dict().items()}

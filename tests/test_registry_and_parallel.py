@@ -76,6 +76,57 @@ def test_mesh_sharded_eval_step():
     assert 0 <= int(out['top1']) <= 16
 
 
+def test_mesh_sharded_eval_uneven_batch():
+    """Ragged batches pad to the data-axis multiple; -1 labels are masked
+    out of every metric (incl. loss/count) — ADVICE r1 medium #2."""
+    from pretorched_tpu.parallel import make_mesh
+    from pretorched_tpu.parallel.evaluate import make_eval_step, pad_batch
+
+    mesh = make_mesh()
+    model = p.resnet18(num_classes=10, pretrained=None)
+    step = make_eval_step(model, mesh=mesh)
+    rng = np.random.RandomState(0)
+    x = rng.randn(13, 32, 32, 3).astype(np.float32)   # 13 % 8 != 0
+    labels = np.arange(13) % 10
+    xp, lp = pad_batch(x, labels, mesh.shape['data'])
+    assert len(lp) == 16 and (lp[13:] == -1).all()
+    out = jax.device_get(step(model.variables, jnp.asarray(xp),
+                              jnp.asarray(lp)))
+    assert int(out['count']) == 13
+    # identical metrics to the unsharded, unpadded run
+    ref = jax.device_get(make_eval_step(model)(model.variables,
+                                               jnp.asarray(x),
+                                               jnp.asarray(labels)))
+    assert int(out['top1']) == int(ref['top1'])
+    assert int(out['top5']) == int(ref['top5'])
+    np.testing.assert_allclose(float(out['loss']), float(ref['loss']),
+                               rtol=1e-5)
+
+
+def test_multi_clip_eval_consensus_and_loss():
+    """Consensus = mean softmax over clips; loss is NLL of that mean
+    (VERDICT r1 #10 + ADVICE r1 low #3)."""
+    from pretorched_tpu.parallel.evaluate import multi_clip_eval_step
+
+    model = p.resnet3d10(num_classes=6, pretrained=None)
+    step = multi_clip_eval_step(model.module)
+    rng = np.random.RandomState(1)
+    clips = rng.randn(2, 3, 4, 16, 16, 3).astype(np.float32)
+    labels = np.array([2, 5])
+    out = jax.device_get(step(model.variables, jnp.asarray(clips),
+                              jnp.asarray(labels)))
+    # oracle: run the backbone per clip, average softmax, NLL
+    flat = clips.reshape((-1,) + clips.shape[2:])
+    logits = np.asarray(model.module.apply(model.variables, flat),
+                        np.float32).reshape(2, 3, -1)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    mean_p = probs.mean(1)
+    ref_loss = -np.log(mean_p[np.arange(2), labels]).sum()
+    np.testing.assert_allclose(float(out['loss']), ref_loss, rtol=1e-4)
+    assert int(out['count']) == 2
+
+
 def test_mesh_train_step_dp_tp():
     import optax
 

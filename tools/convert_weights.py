@@ -33,6 +33,8 @@ def main():
     args = ap.parse_args()
     if args.cpu:
         os.environ['JAX_PLATFORMS'] = 'cpu'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     os.environ['PRETORCHED_STRICT_WEIGHTS'] = '1'
 
     import pretorched_tpu as pretorched
