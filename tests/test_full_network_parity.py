@@ -1,0 +1,184 @@
+"""FULL-NETWORK conversion parity for the NAS-family architectures
+(VERDICT r1 #2): a random full-size torch twin state_dict (tests/torch_twins)
+is pushed through zoo.convert and logits must match. Primitive-level parity
+(test_nasnet_parity etc.) can't catch cell-wiring bugs; these can.
+
+The heavyweights (NASNet-Large / PNASNet / PolyNet at 331px) are slow-gated
+behind PRETORCHED_TEST_SLOW; run once per round and record the result.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from pretorched_tpu.zoo import convert
+
+import torch_twins as twins
+
+SLOW = pytest.mark.skipif(not os.environ.get('PRETORCHED_TEST_SLOW'),
+                          reason='slow: full-size 331px networks')
+
+
+def _full_parity(tm, module, size, renames=None, rtol=2e-3, atol=2e-3,
+                 batch=1):
+    tm = tm.eval()
+    twins.randomize_bn(tm)
+    variables = dict(module.init(jax.random.key(0),
+                                 np.zeros((1, size, size, 3), np.float32)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert.convert_state_dict(sd, variables, renames=renames)
+    x = np.random.RandomState(0).randn(batch, 3, size, size).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(module.apply(variables, np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(got, ref, rtol=rtol, atol=atol)
+
+
+def test_xception_full_network_parity():
+    """reference xception.py:115-213."""
+    from pretorched_tpu.models.xception import Xception
+    _full_parity(twins.XceptionTwin(num_classes=12), Xception(num_classes=12),
+                 size=128, renames={'last_linear': 'fc'})
+
+
+def test_inceptionresnetv2_full_network_parity():
+    """reference inceptionresnetv2.py:234-331 (299px: head pool is a fixed
+    8x8 window)."""
+    from pretorched_tpu.models.inceptionresnetv2 import InceptionResNetV2
+    _full_parity(twins.InceptionResNetV2Twin(num_classes=12),
+                 InceptionResNetV2(num_classes=12), size=299)
+
+
+def test_nasnetamobile_full_network_parity():
+    """reference nasnet_mobile.py:520-616 (224px: head pool is 7x7)."""
+    from pretorched_tpu.models.nasnet import NASNetA
+    tm = twins.NASNetATwin(num_classes=12, stem_filters=32,
+                           penultimate_filters=1056, n=4, specific=True,
+                           head_pool=7)
+    module = NASNetA(num_classes=12, stem_filters=32,
+                     penultimate_filters=1056, num_normal_cells=4,
+                     specific_stem1=True, head_pool=7)
+    _full_parity(tm, module, size=224)
+
+
+@SLOW
+def test_nasnetalarge_full_network_parity():
+    """reference nasnet.py:492-605 (331px, 11x11 head pool)."""
+    from pretorched_tpu.models.nasnet import NASNetA
+    tm = twins.NASNetATwin(num_classes=12, stem_filters=96,
+                           penultimate_filters=4032, n=6, specific=False,
+                           head_pool=11)
+    module = NASNetA(num_classes=12, stem_filters=96,
+                     penultimate_filters=4032, num_normal_cells=6,
+                     specific_stem1=False, head_pool=11)
+    _full_parity(tm, module, size=331)
+
+
+@SLOW
+def test_pnasnet5large_full_network_parity():
+    """reference pnasnet.py:291-370 (331px)."""
+    from pretorched_tpu.models.pnasnet import PNASNet5Large
+    _full_parity(twins.PNASNet5LargeTwin(num_classes=12),
+                 PNASNet5Large(num_classes=12), size=331)
+
+
+@SLOW
+def test_polynet_full_network_parity():
+    """reference polynet.py:382-458 (331px, 9x9 head pool)."""
+    from pretorched_tpu.models.polynet import PolyNet
+    _full_parity(twins.PolyNetTwin(num_classes=12), PolyNet(num_classes=12),
+                 size=331)
+
+
+# -------------------------------------------------------------------------
+# SlowFast: full two-pathway nets incl. lateral-concat bookkeeping
+# (VERDICT r1 #3; reference slowfast.py:102-396)
+# -------------------------------------------------------------------------
+
+def _slowfast_parity(block, layers, mode, renames=None):
+    from pretorched_tpu.models.slowfast import SlowFast
+    tm = twins.SlowFastTwin(block=block, layers=layers, num_classes=12,
+                            mode=mode).eval()
+    twins.randomize_bn(tm)
+    module = SlowFast(block=block, layers=layers, num_classes=12, mode=mode)
+    x4 = np.zeros((1, 32, 48, 48, 3), np.float32)
+    variables = dict(module.init(jax.random.key(0), x4))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert.convert_state_dict(sd, variables, renames=renames)
+    x = np.random.RandomState(0).randn(2, 3, 32, 48, 48).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(module.apply(variables,
+                                  np.transpose(x, (0, 2, 3, 4, 1))))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_slowfast_full_network_parity_bottleneck():
+    _slowfast_parity('bottleneck', (1, 1, 1, 1), 'sf')
+
+
+def test_slowfast_full_network_parity_basic():
+    """resnet18 config: basic blocks, res3 stride 1 (slowfast.py:126-128)."""
+    _slowfast_parity('basic', (2, 2, 2, 2), 'sf')
+
+
+def test_slowonly_full_network_parity():
+    _slowfast_parity('bottleneck', (1, 1, 1, 1), 's',
+                     renames={'^slow\\.': ''})
+
+
+def test_fastonly_full_network_parity():
+    _slowfast_parity('bottleneck', (1, 1, 1, 1), 'f',
+                     renames={'^fast\\.': ''})
+
+
+# -------------------------------------------------------------------------
+# TRN: full network over a per-frame resnet18 backbone
+# (VERDICT r1 #3; reference trn.py:192-343)
+# -------------------------------------------------------------------------
+
+def _trn_parity(consensus, num_segments):
+    from test_resnet import _torch_resnet18
+
+    import pretorched_tpu as p
+
+    model = p.trn(num_classes=12, num_segments=num_segments,
+                  consensus=consensus, arch='resnet18', pretrained=None)
+    base = _torch_resnet18()
+    base.fc = torch.nn.Dropout(0.5)      # reference replaces the classifier
+    tm = twins.TRNTwin(base, 512, 12, num_segments, consensus=consensus,
+                       video_dim=64, bottleneck=32).eval()
+    twins.randomize_bn(tm)
+    # rebuild the flax module with the smaller head dims used in the twin
+    from pretorched_tpu.models.trn import TRN
+    from pretorched_tpu.core.factory import init_variables
+    module = TRN(base_module=model.module.base_module, frame_feature_dim=512,
+                 num_classes=12, num_segments=num_segments,
+                 consensus=consensus, video_feature_dim=64,
+                 frame_bottleneck_dim=32)
+    variables = init_variables(module, (1, num_segments, 64, 64, 3))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert.convert_state_dict(
+        sd, variables, renames={'^base_module\\.': 'base_model.'})
+    x = np.random.RandomState(0).randn(2, num_segments, 3, 64, 64)
+    x = x.astype(np.float32)
+    np.random.seed(0)   # twin MSTRN sampling (full coverage -> order-free)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(module.apply(variables,
+                                  np.transpose(x, (0, 1, 3, 4, 2))))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_trn_full_network_parity_mstrn():
+    """MSTRN with 3 segments: num_relations covers every combination, so the
+    reference's random subsampling (trn.py:100-110) is deterministic."""
+    _trn_parity('MSTRN', 3)
+
+
+def test_trn_full_network_parity_relation():
+    _trn_parity('TRN', 8)

@@ -1,0 +1,1127 @@
+"""Independent full-size torch twins of the NAS-family architectures.
+
+Built from the published recipes (NASNet arXiv:1707.07012, PNASNet
+arXiv:1712.00559, PolyNet arXiv:1611.05725, Inception-ResNet-v2
+arXiv:1602.07261, Xception arXiv:1610.02357) with the public checkpoints'
+state-dict key layout, these serve as numerical oracles for FULL-NETWORK
+conversion parity (VERDICT r1 #2): a random twin state_dict is pushed
+through zoo.convert and logits must match.
+
+Written compactly (loops + spec tables) rather than the unrolled style of
+the original repos; only the state-dict keys and the math are contractual.
+"""
+
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+
+def randomize_bn(model, seed=0):
+    """Give every BN layer non-trivial running stats so eval parity is
+    meaningful."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (tnn.BatchNorm1d, tnn.BatchNorm2d,
+                              tnn.BatchNorm3d)):
+                m.running_mean.uniform_(-0.3, 0.3, generator=g)
+                m.running_var.uniform_(0.5, 1.5, generator=g)
+                m.weight.uniform_(0.5, 1.5, generator=g)
+                m.bias.uniform_(-0.2, 0.2, generator=g)
+
+
+# --------------------------------------------------------------------------
+# Xception
+# --------------------------------------------------------------------------
+
+class _XSep(tnn.Module):
+    def __init__(self, cin, cout, k=3, stride=1, pad=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cin, k, stride, pad, groups=cin,
+                                bias=False)
+        self.pointwise = tnn.Conv2d(cin, cout, 1, bias=False)
+
+    def forward(self, x):
+        return self.pointwise(self.conv1(x))
+
+
+class _XBlock(tnn.Module):
+    def __init__(self, cin, cout, reps, stride=1, start_with_relu=True,
+                 grow_first=True):
+        super().__init__()
+        if cout != cin or stride != 1:
+            self.skip = tnn.Conv2d(cin, cout, 1, stride=stride, bias=False)
+            self.skipbn = tnn.BatchNorm2d(cout)
+        else:
+            self.skip = None
+        rep = []
+        ch = cin
+        if grow_first:
+            rep += [tnn.ReLU(), _XSep(cin, cout), tnn.BatchNorm2d(cout)]
+            ch = cout
+        for _ in range(reps - 1):
+            rep += [tnn.ReLU(), _XSep(ch, ch), tnn.BatchNorm2d(ch)]
+        if not grow_first:
+            rep += [tnn.ReLU(), _XSep(cin, cout), tnn.BatchNorm2d(cout)]
+        if not start_with_relu:
+            rep = rep[1:]
+        if stride != 1:
+            rep.append(tnn.MaxPool2d(3, stride, 1))
+        self.rep = tnn.Sequential(*rep)
+
+    def forward(self, x):
+        out = self.rep(x)
+        skip = self.skipbn(self.skip(x)) if self.skip is not None else x
+        return out + skip
+
+
+class XceptionTwin(tnn.Module):
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 32, 3, 2, 0, bias=False)
+        self.bn1 = tnn.BatchNorm2d(32)
+        self.conv2 = tnn.Conv2d(32, 64, 3, bias=False)
+        self.bn2 = tnn.BatchNorm2d(64)
+        self.block1 = _XBlock(64, 128, 2, 2, start_with_relu=False)
+        self.block2 = _XBlock(128, 256, 2, 2)
+        self.block3 = _XBlock(256, 728, 2, 2)
+        for i in range(4, 12):
+            setattr(self, f'block{i}', _XBlock(728, 728, 3))
+        self.block12 = _XBlock(728, 1024, 2, 2, grow_first=False)
+        self.conv3 = _XSep(1024, 1536)
+        self.bn3 = tnn.BatchNorm2d(1536)
+        self.conv4 = _XSep(1536, 2048)
+        self.bn4 = tnn.BatchNorm2d(2048)
+        self.fc = tnn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = F.relu(self.bn2(self.conv2(x)))
+        for i in range(1, 13):
+            x = getattr(self, f'block{i}')(x)
+        x = F.relu(self.bn3(self.conv3(x)))
+        x = self.bn4(self.conv4(x))
+        x = F.relu(x)
+        x = F.adaptive_avg_pool2d(x, 1).flatten(1)
+        return self.fc(x)
+
+
+# --------------------------------------------------------------------------
+# Inception-ResNet-v2
+# --------------------------------------------------------------------------
+
+class _IBasic(tnn.Module):
+    def __init__(self, cin, cout, k, stride=1, pad=0):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, stride, pad, bias=False)
+        self.bn = tnn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+def _iseq(specs):
+    return tnn.Sequential(*[_IBasic(*s) for s in specs])
+
+
+class _IRes(tnn.Module):
+    """Generic Inception-ResNet residual block (35/17/8 variants)."""
+
+    def __init__(self, cin, cproj, scale, branches, final_relu=True):
+        super().__init__()
+        self.scale, self.final_relu = scale, final_relu
+        width = 0
+        for i, specs in enumerate(branches):
+            if len(specs) == 1:
+                setattr(self, f'branch{i}', _IBasic(*specs[0]))
+            else:
+                setattr(self, f'branch{i}', _iseq(specs))
+            width += specs[-1][1]
+        self.conv2d = tnn.Conv2d(width, cproj, 1)
+        self.n = len(branches)
+
+    def forward(self, x):
+        outs = [getattr(self, f'branch{i}')(x) for i in range(self.n)]
+        out = self.conv2d(torch.cat(outs, 1)) * self.scale + x
+        return F.relu(out) if self.final_relu else out
+
+
+def _block35(scale=0.17):
+    return _IRes(320, 320, scale, [
+        [(320, 32, 1)],
+        [(320, 32, 1), (32, 32, 3, 1, 1)],
+        [(320, 32, 1), (32, 48, 3, 1, 1), (48, 64, 3, 1, 1)]])
+
+
+def _block17(scale=0.10):
+    return _IRes(1088, 1088, scale, [
+        [(1088, 192, 1)],
+        [(1088, 128, 1), (128, 160, (1, 7), 1, (0, 3)),
+         (160, 192, (7, 1), 1, (3, 0))]])
+
+
+def _block8(scale=0.20, final_relu=True):
+    return _IRes(2080, 2080, scale, [
+        [(2080, 192, 1)],
+        [(2080, 192, 1), (192, 224, (1, 3), 1, (0, 1)),
+         (224, 256, (3, 1), 1, (1, 0))]], final_relu=final_relu)
+
+
+class _IMixed5b(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.branch0 = _IBasic(192, 96, 1)
+        self.branch1 = _iseq([(192, 48, 1), (48, 64, 5, 1, 2)])
+        self.branch2 = _iseq([(192, 64, 1), (64, 96, 3, 1, 1),
+                              (96, 96, 3, 1, 1)])
+        self.branch3 = tnn.Sequential(
+            tnn.AvgPool2d(3, 1, 1, count_include_pad=False),
+            _IBasic(192, 64, 1))
+
+    def forward(self, x):
+        return torch.cat([self.branch0(x), self.branch1(x), self.branch2(x),
+                          self.branch3(x)], 1)
+
+
+class _IMixed6a(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.branch0 = _IBasic(320, 384, 3, 2)
+        self.branch1 = _iseq([(320, 256, 1), (256, 256, 3, 1, 1),
+                              (256, 384, 3, 2)])
+        self.branch2 = tnn.MaxPool2d(3, 2)
+
+    def forward(self, x):
+        return torch.cat([self.branch0(x), self.branch1(x),
+                          self.branch2(x)], 1)
+
+
+class _IMixed7a(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.branch0 = _iseq([(1088, 256, 1), (256, 384, 3, 2)])
+        self.branch1 = _iseq([(1088, 256, 1), (256, 288, 3, 2)])
+        self.branch2 = _iseq([(1088, 256, 1), (256, 288, 3, 1, 1),
+                              (288, 320, 3, 2)])
+        self.branch3 = tnn.MaxPool2d(3, 2)
+
+    def forward(self, x):
+        return torch.cat([self.branch0(x), self.branch1(x), self.branch2(x),
+                          self.branch3(x)], 1)
+
+
+class InceptionResNetV2Twin(tnn.Module):
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        self.conv2d_1a = _IBasic(3, 32, 3, 2)
+        self.conv2d_2a = _IBasic(32, 32, 3)
+        self.conv2d_2b = _IBasic(32, 64, 3, 1, 1)
+        self.maxpool_3a = tnn.MaxPool2d(3, 2)
+        self.conv2d_3b = _IBasic(64, 80, 1)
+        self.conv2d_4a = _IBasic(80, 192, 3)
+        self.maxpool_5a = tnn.MaxPool2d(3, 2)
+        self.mixed_5b = _IMixed5b()
+        self.repeat = tnn.Sequential(*[_block35() for _ in range(10)])
+        self.mixed_6a = _IMixed6a()
+        self.repeat_1 = tnn.Sequential(*[_block17() for _ in range(20)])
+        self.mixed_7a = _IMixed7a()
+        self.repeat_2 = tnn.Sequential(*[_block8() for _ in range(9)])
+        self.block8 = _block8(scale=1.0, final_relu=False)
+        self.conv2d_7b = _IBasic(2080, 1536, 1)
+        self.avgpool_1a = tnn.AvgPool2d(8, count_include_pad=False)
+        self.last_linear = tnn.Linear(1536, num_classes)
+
+    def forward(self, x):
+        for name in ('conv2d_1a', 'conv2d_2a', 'conv2d_2b', 'maxpool_3a',
+                     'conv2d_3b', 'conv2d_4a', 'maxpool_5a', 'mixed_5b',
+                     'repeat', 'mixed_6a', 'repeat_1', 'mixed_7a', 'repeat_2',
+                     'block8', 'conv2d_7b'):
+            x = getattr(self, name)(x)
+        x = self.avgpool_1a(x).flatten(1)
+        return self.last_linear(x)
+
+
+# --------------------------------------------------------------------------
+# NASNet-A (shared cell grammar; mobile and large differ in size + the
+# 'specific' TF-SAME pad variants)
+# --------------------------------------------------------------------------
+
+class _NSep(tnn.Module):
+    def __init__(self, cin, cout, k, stride, pad):
+        super().__init__()
+        self.depthwise_conv2d = tnn.Conv2d(cin, cin, k, stride, pad,
+                                           groups=cin, bias=False)
+        self.pointwise_conv2d = tnn.Conv2d(cin, cout, 1, bias=False)
+
+    def forward(self, x):
+        return self.pointwise_conv2d(self.depthwise_conv2d(x))
+
+
+class _NBranchSep(tnn.Module):
+    """relu -> sep -> bn -> relu -> sep -> bn; 'specific'/'reduction' pad
+    (1,0,1,0) + crop [1:,1:] around the first separable; 'stem' maps
+    cin->mid=cout in the first separable."""
+
+    def __init__(self, cin, cout, k, stride, pad, mid=None, pad_crop=False):
+        super().__init__()
+        mid = cin if mid is None else mid
+        self.pad_crop = pad_crop
+        self.separable_1 = _NSep(cin, mid, k, stride, pad)
+        self.bn_sep_1 = tnn.BatchNorm2d(mid, eps=0.001)
+        self.separable_2 = _NSep(mid, cout, k, 1, pad)
+        self.bn_sep_2 = tnn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        x = F.relu(x)
+        if self.pad_crop:
+            x = F.pad(x, (1, 0, 1, 0))
+        x = self.separable_1(x)
+        if self.pad_crop:
+            x = x[:, :, 1:, 1:]
+        x = F.relu(self.bn_sep_1(x))
+        return self.bn_sep_2(self.separable_2(x))
+
+
+def _n_relu_conv_bn(cin, cout):
+    import collections
+    return tnn.Sequential(collections.OrderedDict([
+        ('relu', tnn.ReLU()),
+        ('conv', tnn.Conv2d(cin, cout, 1, bias=False)),
+        ('bn', tnn.BatchNorm2d(cout, eps=0.001))]))
+
+
+def _maxpool_pad(x):
+    return F.max_pool2d(F.pad(x, (1, 0, 1, 0)), 3, 2, 1)[:, :, 1:, 1:]
+
+
+def _avgpool_pad(x):
+    return F.avg_pool2d(F.pad(x, (1, 0, 1, 0)), 3, 2, 1,
+                        count_include_pad=False)[:, :, 1:, 1:]
+
+
+def _avg31(x):
+    return F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
+
+def _mp321(x):
+    return F.max_pool2d(x, 3, 2, 1)
+
+
+def _ap321(x):
+    return F.avg_pool2d(x, 3, 2, 1, count_include_pad=False)
+
+
+class _NPrevPath(tnn.Module):
+    """FactorizedReduction: relu -> [avgpool/2+conv | shift+avgpool/2+conv]
+    -> cat -> bn. Submodule names path_1/path_2/final_path_bn."""
+
+    def __init__(self, cin, cout_half):
+        super().__init__()
+        import collections
+        self.path_1 = tnn.Sequential(collections.OrderedDict([
+            ('avgpool', tnn.AvgPool2d(1, 2, count_include_pad=False)),
+            ('conv', tnn.Conv2d(cin, cout_half, 1, bias=False))]))
+        self.path_2 = tnn.ModuleDict({
+            'avgpool': tnn.AvgPool2d(1, 2, count_include_pad=False),
+            'conv': tnn.Conv2d(cin, cout_half, 1, bias=False)})
+        self.final_path_bn = tnn.BatchNorm2d(cout_half * 2, eps=0.001)
+
+    def forward(self, x):
+        x = F.relu(x)
+        p1 = self.path_1(x)
+        p2 = F.pad(x, (0, 1, 0, 1))[:, :, 1:, 1:]
+        p2 = self.path_2['conv'](self.path_2['avgpool'](p2))
+        return self.final_path_bn(torch.cat([p1, p2], 1))
+
+
+class _NCellStem0(tnn.Module):
+    def __init__(self, stem, filters):
+        super().__init__()
+        self.conv_1x1 = _n_relu_conv_bn(stem, filters)
+        self.comb_iter_0_left = _NBranchSep(filters, filters, 5, 2, 2)
+        self.comb_iter_0_right = _NBranchSep(stem, filters, 7, 2, 3,
+                                             mid=filters)
+        self.comb_iter_1_right = _NBranchSep(stem, filters, 7, 2, 3,
+                                             mid=filters)
+        self.comb_iter_2_right = _NBranchSep(stem, filters, 5, 2, 2,
+                                             mid=filters)
+        self.comb_iter_4_left = _NBranchSep(filters, filters, 3, 1, 1)
+
+    def forward(self, x):
+        x1 = self.conv_1x1(x)
+        c0 = self.comb_iter_0_left(x1) + self.comb_iter_0_right(x)
+        c1 = _mp321(x1) + self.comb_iter_1_right(x)
+        c2 = _ap321(x1) + self.comb_iter_2_right(x)
+        c3 = _avg31(c0) + c1
+        c4 = self.comb_iter_4_left(c0) + _mp321(x1)
+        return torch.cat([c1, c2, c3, c4], 1)
+
+
+class _NCellStem1(tnn.Module):
+    def __init__(self, stem, filters, specific):
+        super().__init__()
+        self.specific = specific
+        self.conv_1x1 = _n_relu_conv_bn(2 * filters, filters)
+        pp = _NPrevPath(stem, filters // 2)
+        self.path_1, self.path_2 = pp.path_1, pp.path_2
+        self.final_path_bn = pp.final_path_bn
+        sp = dict(pad_crop=specific)
+        self.comb_iter_0_left = _NBranchSep(filters, filters, 5, 2, 2, **sp)
+        self.comb_iter_0_right = _NBranchSep(filters, filters, 7, 2, 3, **sp)
+        self.comb_iter_1_right = _NBranchSep(filters, filters, 7, 2, 3, **sp)
+        self.comb_iter_2_right = _NBranchSep(filters, filters, 5, 2, 2, **sp)
+        self.comb_iter_4_left = _NBranchSep(filters, filters, 3, 1, 1, **sp)
+
+    def forward(self, x_conv0, x_stem_0):
+        left = self.conv_1x1(x_stem_0)
+        xr = F.relu(x_conv0)
+        p1 = self.path_1(xr)
+        p2 = F.pad(xr, (0, 1, 0, 1))[:, :, 1:, 1:]
+        p2 = self.path_2['conv'](self.path_2['avgpool'](p2))
+        right = self.final_path_bn(torch.cat([p1, p2], 1))
+        mp = _maxpool_pad if self.specific else _mp321
+        ap = _avgpool_pad if self.specific else _ap321
+        c0 = self.comb_iter_0_left(left) + self.comb_iter_0_right(right)
+        c1 = mp(left) + self.comb_iter_1_right(right)
+        c2 = ap(left) + self.comb_iter_2_right(right)
+        c3 = _avg31(c0) + c1
+        c4 = self.comb_iter_4_left(c0) + mp(left)
+        return torch.cat([c1, c2, c3, c4], 1)
+
+
+class _NFirstCell(tnn.Module):
+    def __init__(self, cin_left, cout_left, cin_right, cout_right):
+        super().__init__()
+        self.conv_1x1 = _n_relu_conv_bn(cin_right, cout_right)
+        pp = _NPrevPath(cin_left, cout_left)
+        self.path_1, self.path_2 = pp.path_1, pp.path_2
+        self.final_path_bn = pp.final_path_bn
+        self.comb_iter_0_left = _NBranchSep(cout_right, cout_right, 5, 1, 2)
+        self.comb_iter_0_right = _NBranchSep(cout_right, cout_right, 3, 1, 1)
+        self.comb_iter_1_left = _NBranchSep(cout_right, cout_right, 5, 1, 2)
+        self.comb_iter_1_right = _NBranchSep(cout_right, cout_right, 3, 1, 1)
+        self.comb_iter_4_left = _NBranchSep(cout_right, cout_right, 3, 1, 1)
+
+    def forward(self, x, x_prev):
+        xr = F.relu(x_prev)
+        p1 = self.path_1(xr)
+        p2 = F.pad(xr, (0, 1, 0, 1))[:, :, 1:, 1:]
+        p2 = self.path_2['conv'](self.path_2['avgpool'](p2))
+        left = self.final_path_bn(torch.cat([p1, p2], 1))
+        right = self.conv_1x1(x)
+        c0 = self.comb_iter_0_left(right) + self.comb_iter_0_right(left)
+        c1 = self.comb_iter_1_left(left) + self.comb_iter_1_right(left)
+        c2 = _avg31(right) + left
+        c3 = _avg31(left) + _avg31(left)
+        c4 = self.comb_iter_4_left(right) + right
+        return torch.cat([left, c0, c1, c2, c3, c4], 1)
+
+
+class _NNormalCell(tnn.Module):
+    def __init__(self, cin_left, cout_left, cin_right, cout_right):
+        super().__init__()
+        self.conv_prev_1x1 = _n_relu_conv_bn(cin_left, cout_left)
+        self.conv_1x1 = _n_relu_conv_bn(cin_right, cout_right)
+        self.comb_iter_0_left = _NBranchSep(cout_right, cout_right, 5, 1, 2)
+        self.comb_iter_0_right = _NBranchSep(cout_left, cout_left, 3, 1, 1)
+        self.comb_iter_1_left = _NBranchSep(cout_left, cout_left, 5, 1, 2)
+        self.comb_iter_1_right = _NBranchSep(cout_left, cout_left, 3, 1, 1)
+        self.comb_iter_4_left = _NBranchSep(cout_right, cout_right, 3, 1, 1)
+
+    def forward(self, x, x_prev):
+        left = self.conv_prev_1x1(x_prev)
+        right = self.conv_1x1(x)
+        c0 = self.comb_iter_0_left(right) + self.comb_iter_0_right(left)
+        c1 = self.comb_iter_1_left(left) + self.comb_iter_1_right(left)
+        c2 = _avg31(right) + left
+        c3 = _avg31(left) + _avg31(left)
+        c4 = self.comb_iter_4_left(right) + right
+        return torch.cat([left, c0, c1, c2, c3, c4], 1)
+
+
+class _NReductionCell(tnn.Module):
+    """ReductionCell0 (pad_crop separables + PoolPad) or ReductionCell1
+    (large: plain; mobile: 'specific' separables + PoolPad)."""
+
+    def __init__(self, cin_left, cout_left, cin_right, cout_right,
+                 pad_crop, pool_pad):
+        super().__init__()
+        self.pool_pad = pool_pad
+        self.conv_prev_1x1 = _n_relu_conv_bn(cin_left, cout_left)
+        self.conv_1x1 = _n_relu_conv_bn(cin_right, cout_right)
+        sp = dict(pad_crop=pad_crop)
+        self.comb_iter_0_left = _NBranchSep(cout_right, cout_right, 5, 2, 2, **sp)
+        self.comb_iter_0_right = _NBranchSep(cout_right, cout_right, 7, 2, 3, **sp)
+        self.comb_iter_1_right = _NBranchSep(cout_right, cout_right, 7, 2, 3, **sp)
+        self.comb_iter_2_right = _NBranchSep(cout_right, cout_right, 5, 2, 2, **sp)
+        self.comb_iter_4_left = _NBranchSep(cout_right, cout_right, 3, 1, 1, **sp)
+
+    def forward(self, x, x_prev):
+        left = self.conv_prev_1x1(x_prev)
+        right = self.conv_1x1(x)
+        mp = _maxpool_pad if self.pool_pad else _mp321
+        ap = _avgpool_pad if self.pool_pad else _ap321
+        c0 = self.comb_iter_0_left(right) + self.comb_iter_0_right(left)
+        c1 = mp(right) + self.comb_iter_1_right(left)
+        c2 = ap(right) + self.comb_iter_2_right(left)
+        c3 = _avg31(c0) + c1
+        c4 = self.comb_iter_4_left(c0) + mp(right)
+        return torch.cat([c1, c2, c3, c4], 1)
+
+
+class NASNetATwin(tnn.Module):
+    """NASNet-A; mobile = (32, 1056, 4, specific), large = (96, 4032, 6)."""
+
+    def __init__(self, num_classes=1000, stem_filters=32,
+                 penultimate_filters=1056, n=4, specific=True, head_pool=7):
+        super().__init__()
+        import collections
+        f = penultimate_filters // 24
+        self.n, self.specific, self.head_pool = n, specific, head_pool
+        self.conv0 = tnn.Sequential(collections.OrderedDict([
+            ('conv', tnn.Conv2d(3, stem_filters, 3, 2, bias=False)),
+            ('bn', tnn.BatchNorm2d(stem_filters, eps=0.001))]))
+        self.cell_stem_0 = _NCellStem0(stem_filters, f // 4)
+        self.cell_stem_1 = _NCellStem1(stem_filters, f // 2, specific)
+        for stage in range(3):
+            fs = f * 2 ** stage
+            ci = stage * 6
+            # FirstCell inputs: stage 0 sees (x_stem_0: f, x_stem_1: 2f);
+            # later stages see (last/2nd-last normal: 6*fs/2, reduction: 8*fs/2)
+            cin_left = f if stage == 0 else 6 * f * 2 ** (stage - 1)
+            cin_right = 2 * f if stage == 0 else 8 * f * 2 ** (stage - 1)
+            setattr(self, f'cell_{ci}', _NFirstCell(
+                cin_left, fs // 2, cin_right, fs))
+            prev_c, cur_c = cin_right, 6 * fs
+            for j in range(1, n):
+                setattr(self, f'cell_{ci + j}', _NNormalCell(
+                    prev_c, fs, cur_c, fs))
+                prev_c, cur_c = cur_c, 6 * fs
+            if stage < 2:
+                setattr(self, f'reduction_cell_{stage}', _NReductionCell(
+                    6 * fs, 2 * fs, 6 * fs, 2 * fs,
+                    pad_crop=(stage == 0) or specific,
+                    pool_pad=(stage == 0) or specific))
+        self.last_linear = tnn.Linear(24 * f, num_classes)
+
+    def features(self, x):
+        x_conv0 = self.conv0(x)
+        x_stem_0 = self.cell_stem_0(x_conv0)
+        x_stem_1 = self.cell_stem_1(x_conv0, x_stem_0)
+        prev, cur = x_stem_0, x_stem_1
+        for stage in range(3):
+            ci = stage * 6
+            nxt = getattr(self, f'cell_{ci}')(cur, prev)
+            prev, cur = cur, nxt
+            for j in range(1, self.n):
+                nxt = getattr(self, f'cell_{ci + j}')(cur, prev)
+                prev, cur = cur, nxt
+            if stage < 2:
+                red = getattr(self, f'reduction_cell_{stage}')(cur, prev)
+                # mobile: next FirstCell's prev is the LAST normal cell;
+                # large: the second-to-last
+                prev = cur if self.specific else prev
+                cur = red
+        return cur
+
+    def forward(self, x):
+        x = F.relu(self.features(x))
+        x = F.avg_pool2d(x, self.head_pool, 1).flatten(1)
+        return self.last_linear(x)
+
+
+# --------------------------------------------------------------------------
+# PNASNet-5-Large
+# --------------------------------------------------------------------------
+
+class _PSep(tnn.Module):
+    def __init__(self, cin, cout, k, stride, mid=None, pad_crop=False):
+        super().__init__()
+        mid = cin if mid is None else mid
+        p = k // 2
+        self.pad_crop = pad_crop
+        self.separable_1 = _NSep(cin, mid, k, stride, p)
+        self.bn_sep_1 = tnn.BatchNorm2d(mid, eps=0.001)
+        self.separable_2 = _NSep(mid, cout, k, 1, p)
+        self.bn_sep_2 = tnn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        x = F.relu(x)
+        if self.pad_crop:
+            x = F.pad(x, (1, 0, 1, 0))
+        x = self.separable_1(x)
+        if self.pad_crop:
+            x = x[:, :, 1:, 1:]
+        x = F.relu(self.bn_sep_1(x))
+        return self.bn_sep_2(self.separable_2(x))
+
+
+def _pmax(x, stride=1, zero_pad=False):
+    if zero_pad:
+        return F.max_pool2d(F.pad(x, (1, 0, 1, 0)), 3, stride, 1)[:, :, 1:, 1:]
+    return F.max_pool2d(x, 3, stride, 1)
+
+
+class _PCellStem0(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        import collections
+        self.conv_1x1 = _n_relu_conv_bn(96, 54)
+        self.comb_iter_0_left = _PSep(96, 54, 5, 2, mid=54)
+        self.comb_iter_0_right = tnn.Sequential(collections.OrderedDict([
+            ('max_pool', tnn.Identity()),   # pooling is functional
+            ('conv', tnn.Conv2d(96, 54, 1, bias=False)),
+            ('bn', tnn.BatchNorm2d(54, eps=0.001))]))
+        self.comb_iter_1_left = _PSep(54, 54, 7, 2)
+        self.comb_iter_2_left = _PSep(54, 54, 5, 2)
+        self.comb_iter_2_right = _PSep(54, 54, 3, 2)
+        self.comb_iter_3_left = _PSep(54, 54, 3, 1)
+        self.comb_iter_4_left = _PSep(96, 54, 3, 2, mid=54)
+        self.comb_iter_4_right = _n_relu_conv_bn(54, 54)
+        self.comb_iter_4_right.conv.stride = (2, 2)
+
+    def forward(self, x):
+        right = self.conv_1x1(x)
+        c0 = (self.comb_iter_0_left(x)
+              + self.comb_iter_0_right[2](self.comb_iter_0_right[1](
+                  _pmax(x, 2))))
+        c1 = self.comb_iter_1_left(right) + _pmax(right, 2)
+        c2 = self.comb_iter_2_left(right) + self.comb_iter_2_right(right)
+        c3 = self.comb_iter_3_left(c2) + _pmax(right, 2)
+        c4 = self.comb_iter_4_left(x) + self.comb_iter_4_right(right)
+        return torch.cat([c0, c1, c2, c3, c4], 1)
+
+
+class _PFactorized(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        pp = _NPrevPath(cin, cout // 2)
+        self.path_1, self.path_2 = pp.path_1, pp.path_2
+        self.final_path_bn = pp.final_path_bn
+
+    def forward(self, x):
+        x = F.relu(x)
+        p1 = self.path_1(x)
+        p2 = F.pad(x, (0, 1, 0, 1))[:, :, 1:, 1:]
+        p2 = self.path_2['conv'](self.path_2['avgpool'](p2))
+        return self.final_path_bn(torch.cat([p1, p2], 1))
+
+
+class _PCell(tnn.Module):
+    def __init__(self, cin_left, cout_left, cin_right, cout_right,
+                 is_reduction=False, zero_pad=False, match_prev=False):
+        super().__init__()
+        stride = 2 if is_reduction else 1
+        self.stride, self.zero_pad = stride, zero_pad
+        self.is_reduction = is_reduction
+        if match_prev:
+            self.conv_prev_1x1 = _PFactorized(cin_left, cout_left)
+        else:
+            self.conv_prev_1x1 = _n_relu_conv_bn(cin_left, cout_left)
+        self.conv_1x1 = _n_relu_conv_bn(cin_right, cout_right)
+        zp = dict(pad_crop=zero_pad)
+        self.comb_iter_0_left = _PSep(cout_left, cout_left, 5, stride, **zp)
+        self.comb_iter_1_left = _PSep(cout_right, cout_right, 7, stride, **zp)
+        self.comb_iter_2_left = _PSep(cout_right, cout_right, 5, stride, **zp)
+        self.comb_iter_2_right = _PSep(cout_right, cout_right, 3, stride, **zp)
+        self.comb_iter_3_left = _PSep(cout_right, cout_right, 3, 1)
+        self.comb_iter_4_left = _PSep(cout_left, cout_left, 3, stride, **zp)
+        if is_reduction:
+            self.comb_iter_4_right = _n_relu_conv_bn(cout_right, cout_right)
+            self.comb_iter_4_right.conv.stride = (stride, stride)
+
+    def forward(self, x_left, x_right):
+        left = self.conv_prev_1x1(x_left)
+        right = self.conv_1x1(x_right)
+        s, zp = self.stride, self.zero_pad
+        c0 = self.comb_iter_0_left(left) + _pmax(left, s, zp)
+        c1 = self.comb_iter_1_left(right) + _pmax(right, s, zp)
+        c2 = self.comb_iter_2_left(right) + self.comb_iter_2_right(right)
+        c3 = self.comb_iter_3_left(c2) + _pmax(right, s, zp)
+        c4 = self.comb_iter_4_left(left)
+        c4 = c4 + (self.comb_iter_4_right(right) if self.is_reduction
+                   else right)
+        return torch.cat([c0, c1, c2, c3, c4], 1)
+
+
+class PNASNet5LargeTwin(tnn.Module):
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        import collections
+        self.conv_0 = tnn.Sequential(collections.OrderedDict([
+            ('conv', tnn.Conv2d(3, 96, 3, 2, bias=False)),
+            ('bn', tnn.BatchNorm2d(96, eps=0.001))]))
+        self.cell_stem_0 = _PCellStem0()
+        self.cell_stem_1 = _PCell(96, 108, 270, 108, is_reduction=True,
+                                  match_prev=True)
+        specs = [
+            (270, 216, 540, 216, dict(match_prev=True)),
+            (540, 216, 1080, 216, {}),
+            (1080, 216, 1080, 216, {}), (1080, 216, 1080, 216, {}),
+            (1080, 432, 1080, 432, dict(is_reduction=True, zero_pad=True)),
+            (1080, 432, 2160, 432, dict(match_prev=True)),
+            (2160, 432, 2160, 432, {}), (2160, 432, 2160, 432, {}),
+            (2160, 864, 2160, 864, dict(is_reduction=True)),
+            (2160, 864, 4320, 864, dict(match_prev=True)),
+            (4320, 864, 4320, 864, {}), (4320, 864, 4320, 864, {}),
+        ]
+        for i, (cl, ol, cr, orr, kw) in enumerate(specs):
+            setattr(self, f'cell_{i}', _PCell(cl, ol, cr, orr, **kw))
+        self.last_linear = tnn.Linear(4320, num_classes)
+
+    def forward(self, x):
+        x = self.conv_0(x)
+        s0 = self.cell_stem_0(x)
+        s1 = self.cell_stem_1(x, s0)
+        prev, cur = s0, s1
+        for i in range(12):
+            nxt = getattr(self, f'cell_{i}')(prev, cur)
+            prev, cur = cur, nxt
+        x = F.relu(cur)
+        x = F.avg_pool2d(x, 11, 1).flatten(1)
+        return self.last_linear(x)
+
+
+# --------------------------------------------------------------------------
+# PolyNet
+# --------------------------------------------------------------------------
+
+class _YBasic(tnn.Module):
+    def __init__(self, cin, cout, k, stride=1, pad=0, output_relu=True):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, stride, pad, bias=False)
+        self.bn = tnn.BatchNorm2d(cout)
+        self.output_relu = output_relu
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return F.relu(x) if self.output_relu else x
+
+
+def _yseq(specs):
+    return tnn.Sequential(*[_YBasic(*s) for s in specs])
+
+
+class _YStem(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = _yseq([(3, 32, 3, 2), (32, 32, 3), (32, 64, 3, 1, 1)])
+        self.conv1_branch = _YBasic(64, 96, 3, 2)
+        self.conv2_short = _yseq([(160, 64, 1), (64, 96, 3)])
+        self.conv2_long = _yseq([(160, 64, 1), (64, 64, (7, 1), 1, (3, 0)),
+                                 (64, 64, (1, 7), 1, (0, 3)), (64, 96, 3)])
+        self.conv2_branch = _YBasic(192, 192, 3, 2)
+
+    def forward(self, x):
+        x = self.conv1(x)
+        x = torch.cat([F.max_pool2d(x, 3, 2), self.conv1_branch(x)], 1)
+        x = torch.cat([self.conv2_short(x), self.conv2_long(x)], 1)
+        return torch.cat([F.max_pool2d(x, 3, 2), self.conv2_branch(x)], 1)
+
+
+_Y_BLOCKS = {
+    'a': dict(path0=[(384, 32, 1), (32, 48, 3, 1, 1), (48, 64, 3, 1, 1)],
+              path1=[(384, 32, 1), (32, 32, 3, 1, 1)],
+              path2=(384, 32, 1), cat=128, out=384),
+    'b': dict(path0=[(1152, 128, 1), (128, 160, (1, 7), 1, (0, 3)),
+                     (160, 192, (7, 1), 1, (3, 0))],
+              path1=(1152, 192, 1), cat=384, out=1152),
+    'c': dict(path0=[(2048, 192, 1), (192, 224, (1, 3), 1, (0, 1)),
+                     (224, 256, (3, 1), 1, (1, 0))],
+              path1=(2048, 192, 1), cat=448, out=2048),
+}
+
+
+class _YBlock(tnn.Module):
+    def __init__(self, kind):
+        super().__init__()
+        cfg = _Y_BLOCKS[kind]
+        self.path0 = _yseq(cfg['path0'])
+        self.path1 = (_YBasic(*cfg['path1']) if kind != 'a'
+                      else _yseq(cfg['path1']))
+        if kind == 'a':
+            self.path2 = _YBasic(*cfg['path2'])
+        self.kind = kind
+        self.conv2d = _YBasic(cfg['cat'], cfg['out'], 1, output_relu=False)
+
+    def forward(self, x):
+        outs = [self.path0(x), self.path1(x)]
+        if self.kind == 'a':
+            outs.append(self.path2(x))
+        return self.conv2d(torch.cat(outs, 1))
+
+
+class _YMultiWay(tnn.Module):
+    def __init__(self, kind, scale, num_blocks=2):
+        super().__init__()
+        self.scale = scale
+        self.blocks = tnn.ModuleList([_YBlock(kind) for _ in range(num_blocks)])
+
+    def forward(self, x):
+        out = x
+        for b in self.blocks:
+            out = out + b(x) * self.scale
+        return F.relu(out)
+
+
+class _YPolyConv(tnn.Module):
+    def __init__(self, cin, cout, k, num_blocks, pad=0):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, padding=pad, bias=False)
+        self.bn_blocks = tnn.ModuleList(
+            [tnn.BatchNorm2d(cout) for _ in range(num_blocks)])
+
+    def forward(self, x, i):
+        return F.relu(self.bn_blocks[i](self.conv(x)))
+
+
+class _YPoly(tnn.Module):
+    def __init__(self, kind, scale, num_blocks=3):
+        super().__init__()
+        self.scale, self.num_blocks = scale, num_blocks
+        if kind == 'b':
+            self.path0_1x1 = _YPolyConv(1152, 128, 1, num_blocks)
+            self.path0_1x7 = _YPolyConv(128, 160, (1, 7), num_blocks, (0, 3))
+            self.path0_7x1 = _YPolyConv(160, 192, (7, 1), num_blocks, (3, 0))
+            self.path1 = _YPolyConv(1152, 192, 1, num_blocks)
+            cat, out = 384, 1152
+            self._p0 = ('path0_1x1', 'path0_1x7', 'path0_7x1')
+        else:
+            self.path0_1x1 = _YPolyConv(2048, 192, 1, num_blocks)
+            self.path0_1x3 = _YPolyConv(192, 224, (1, 3), num_blocks, (0, 1))
+            self.path0_3x1 = _YPolyConv(224, 256, (3, 1), num_blocks, (1, 0))
+            self.path1 = _YPolyConv(2048, 192, 1, num_blocks)
+            cat, out = 448, 2048
+            self._p0 = ('path0_1x1', 'path0_1x3', 'path0_3x1')
+        self.conv2d_blocks = tnn.ModuleList(
+            [_YBasic(cat, out, 1, output_relu=False)
+             for _ in range(num_blocks)])
+
+    def forward(self, x):
+        out = x
+        for i in range(self.num_blocks):
+            h = x
+            for name in self._p0:
+                h = getattr(self, name)(h, i)
+            h1 = self.path1(x, i)
+            blk = self.conv2d_blocks[i](torch.cat([h, h1], 1))
+            out = out + blk * self.scale
+            x = F.relu(blk)
+        return F.relu(out)
+
+
+class _YReductionA(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.path0 = _yseq([(384, 256, 1), (256, 256, 3, 1, 1),
+                            (256, 384, 3, 2)])
+        self.path1 = _YBasic(384, 384, 3, 2)
+
+    def forward(self, x):
+        return torch.cat([self.path0(x), self.path1(x),
+                          F.max_pool2d(x, 3, 2)], 1)
+
+
+class _YReductionB(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.path0 = _yseq([(1152, 256, 1), (256, 256, 3, 1, 1),
+                            (256, 256, 3, 2)])
+        self.path1 = _yseq([(1152, 256, 1), (256, 256, 3, 2)])
+        self.path2 = _yseq([(1152, 256, 1), (256, 384, 3, 2)])
+
+    def forward(self, x):
+        return torch.cat([self.path0(x), self.path1(x), self.path2(x),
+                          F.max_pool2d(x, 3, 2)], 1)
+
+
+_YA = (1, 0.992308, 0.984615, 0.976923, 0.969231, 0.961538, 0.953846,
+       0.946154, 0.938462, 0.930769)
+_YB = (0.923077, 0.915385, 0.907692, 0.9, 0.892308, 0.884615, 0.876923,
+       0.869231, 0.861538, 0.853846, 0.846154, 0.838462, 0.830769, 0.823077,
+       0.815385, 0.807692, 0.8, 0.792308, 0.784615, 0.776923)
+_YC = (0.769231, 0.761538, 0.753846, 0.746154, 0.738462, 0.730769, 0.723077,
+       0.715385, 0.707692, 0.7)
+
+
+class PolyNetTwin(tnn.Module):
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        self.stem = _YStem()
+        self.stage_a = tnn.Sequential(*[_YMultiWay('a', s) for s in _YA])
+        self.reduction_a = _YReductionA()
+        self.stage_b = tnn.Sequential(*[
+            _YPoly('b', s) if i % 2 == 0 else _YMultiWay('b', s)
+            for i, s in enumerate(_YB)])
+        self.reduction_b = _YReductionB()
+        self.stage_c = tnn.Sequential(*[
+            _YPoly('c', s) if i % 2 == 0 else _YMultiWay('c', s)
+            for i, s in enumerate(_YC)])
+        self.last_linear = tnn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.stem(x)
+        x = self.stage_a(x)
+        x = self.reduction_a(x)
+        x = self.stage_b(x)
+        x = self.reduction_b(x)
+        x = self.stage_c(x)
+        x = F.avg_pool2d(x, 9, 1).flatten(1)
+        return self.last_linear(x)
+
+
+# --------------------------------------------------------------------------
+# SlowFast (arXiv:1812.03982) — dual-pathway video net with time-strided
+# lateral connections; checkpoint layout of the reference implementation.
+# --------------------------------------------------------------------------
+
+class _SFBasic(tnn.Module):
+    expansion = 1
+
+    def __init__(self, cin, planes, stride=1, downsample=None, head_conv=1):
+        super().__init__()
+        if head_conv == 1:
+            self.conv1 = tnn.Conv3d(cin, planes, (1, 3, 3), (1, stride, stride),
+                                    (0, 1, 1), bias=False)
+        else:
+            self.conv1 = tnn.Conv3d(cin, planes, (3, 1, 1), 1, (1, 0, 0),
+                                    bias=False)
+        self.bn1 = tnn.BatchNorm3d(planes)
+        # quirk kept from the published code: conv2 carries the stride AND a
+        # bias (so basic+head_conv=1 only ever runs with stride 1)
+        self.conv2 = tnn.Conv3d(planes, planes, (1, 3, 3),
+                                (1, stride, stride) if head_conv == 3 else 1,
+                                (0, 1, 1))
+        self.bn2 = tnn.BatchNorm3d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        res = self.downsample(x) if self.downsample is not None else x
+        return F.relu(out + res)
+
+
+class _SFBottleneck(tnn.Module):
+    expansion = 4
+
+    def __init__(self, cin, planes, stride=1, downsample=None, head_conv=1):
+        super().__init__()
+        if head_conv == 1:
+            self.conv1 = tnn.Conv3d(cin, planes, 1, bias=False)
+        else:
+            self.conv1 = tnn.Conv3d(cin, planes, (3, 1, 1), 1, (1, 0, 0),
+                                    bias=False)
+        self.bn1 = tnn.BatchNorm3d(planes)
+        self.conv2 = tnn.Conv3d(planes, planes, (1, 3, 3), (1, stride, stride),
+                                (0, 1, 1), bias=False)
+        self.bn2 = tnn.BatchNorm3d(planes)
+        self.conv3 = tnn.Conv3d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm3d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        res = self.downsample(x) if self.downsample is not None else x
+        return F.relu(out + res)
+
+
+def _sf_layer(block, inplanes, planes, blocks, stride=1, head_conv=1):
+    downsample = None
+    if stride != 1 or inplanes != planes * block.expansion:
+        downsample = tnn.Sequential(
+            tnn.Conv3d(inplanes, planes * block.expansion, 1,
+                       (1, stride, stride), bias=False),
+            tnn.BatchNorm3d(planes * block.expansion))
+    layers = [block(inplanes, planes, stride, downsample, head_conv)]
+    inplanes = planes * block.expansion
+    for _ in range(1, blocks):
+        layers.append(block(inplanes, planes, head_conv=head_conv))
+    return tnn.Sequential(*layers), inplanes
+
+
+class _SFSlowPath(tnn.Module):
+    """Slow pathway; with_lateral widens each stage input by concat."""
+
+    def __init__(self, block, layers, with_lateral=True):
+        super().__init__()
+        self.with_lateral = with_lateral
+        self.conv1 = tnn.Conv3d(3, 64, (1, 7, 7), (1, 2, 2), (0, 3, 3),
+                                bias=False)
+        self.bn1 = tnn.BatchNorm3d(64)
+        res3_stride = 2 if block is _SFBottleneck else 1
+        lat = (lambda c: c + c // 8 * 2) if with_lateral else (lambda c: c)
+        inp = lat(64)
+        self.res2, inp = _sf_layer(block, inp, 64, layers[0], 1, 1)
+        self.res3, inp = _sf_layer(block, lat(inp), 128, layers[1],
+                                   res3_stride, 1)
+        self.res4, inp = _sf_layer(block, lat(inp), 256, layers[2], 2, 3)
+        self.res5, inp = _sf_layer(block, lat(inp), 512, layers[3], 2, 3)
+        self.out_channels = inp
+
+    def forward(self, x, lateral=None):
+        x = F.max_pool3d(F.relu(self.bn1(self.conv1(x))), (1, 3, 3),
+                         (1, 2, 2), (0, 1, 1))
+        for i, stage in enumerate((self.res2, self.res3, self.res4,
+                                   self.res5)):
+            if self.with_lateral:
+                x = torch.cat([x, lateral[i]], 1)
+            x = stage(x)
+        return F.adaptive_avg_pool3d(x, 1).flatten(1)
+
+
+class _SFFastPath(tnn.Module):
+    def __init__(self, block, layers, with_lateral=True):
+        super().__init__()
+        self.with_lateral = with_lateral
+        self.conv1 = tnn.Conv3d(3, 8, (5, 7, 7), (1, 2, 2), (2, 3, 3),
+                                bias=False)
+        self.bn1 = tnn.BatchNorm3d(8)
+        res3_stride = 2 if block is _SFBottleneck else 1
+        inp = 8
+        self.res2, inp = _sf_layer(block, inp, 8, layers[0], 1, 3)
+        r2 = inp
+        self.res3, inp = _sf_layer(block, inp, 16, layers[1], res3_stride, 3)
+        r3 = inp
+        self.res4, inp = _sf_layer(block, inp, 32, layers[2], 2, 3)
+        r4 = inp
+        self.res5, inp = _sf_layer(block, inp, 64, layers[3], 2, 3)
+        self.out_channels = inp
+        if with_lateral:
+            for name, c in (('lateral_p1', 8), ('lateral_res2', r2),
+                            ('lateral_res3', r3), ('lateral_res4', r4)):
+                setattr(self, name, tnn.Conv3d(c, c * 2, (5, 1, 1), (8, 1, 1),
+                                               (2, 0, 0), bias=False))
+
+    def forward(self, x):
+        x = F.max_pool3d(F.relu(self.bn1(self.conv1(x))), (1, 3, 3),
+                         (1, 2, 2), (0, 1, 1))
+        lateral = []
+        if self.with_lateral:
+            lateral.append(self.lateral_p1(x))
+        x = self.res2(x)
+        if self.with_lateral:
+            lateral.append(self.lateral_res2(x))
+        x = self.res3(x)
+        if self.with_lateral:
+            lateral.append(self.lateral_res3(x))
+        x = self.res4(x)
+        if self.with_lateral:
+            lateral.append(self.lateral_res4(x))
+        x = self.res5(x)
+        return F.adaptive_avg_pool3d(x, 1).flatten(1), lateral
+
+
+class SlowFastTwin(tnn.Module):
+    """mode 'sf' (dual pathway, bias-free head), 's' (SlowOnly), 'f'
+    (FastOnly) — top-level key layout matches the reference variants."""
+
+    def __init__(self, block='bottleneck', layers=(2, 2, 2, 2),
+                 num_classes=400, mode='sf', slow_stride=16, fast_stride=2):
+        super().__init__()
+        blk = _SFBottleneck if block == 'bottleneck' else _SFBasic
+        self.mode, self.ss, self.fs = mode, slow_stride, fast_stride
+        if mode == 'sf':
+            self.slow = _SFSlowPath(blk, layers, with_lateral=True)
+            self.fast = _SFFastPath(blk, layers, with_lateral=True)
+            width = self.slow.out_channels + self.fast.out_channels
+            self.last_linear = tnn.Linear(width, num_classes, bias=False)
+        else:
+            cls = _SFSlowPath if mode == 's' else _SFFastPath
+            path = cls(blk, layers, with_lateral=False)
+            # expose the path's children at top level (the reference's
+            # SlowOnly/FastOnly layout) without double-registering the path
+            for name, mod in path.named_children():
+                setattr(self, name, mod)
+            object.__setattr__(self, '_speed', path)
+            self.last_linear = tnn.Linear(path.out_channels, num_classes)
+
+    def forward(self, x):
+        if self.mode == 'sf':
+            fast, lateral = self.fast(x[:, :, ::self.fs])
+            slow = self.slow(x[:, :, ::self.ss], lateral)
+            feats = torch.cat([slow, fast], 1)
+        elif self.mode == 's':
+            feats = self._speed(x[:, :, ::self.ss])
+        else:
+            feats, _ = self._speed(x[:, :, ::self.fs])
+        return self.last_linear(feats)
+
+
+# --------------------------------------------------------------------------
+# TRN (arXiv:1711.08496) — per-frame 2D backbone + temporal relation heads.
+# --------------------------------------------------------------------------
+
+class RelationTwin(tnn.Module):
+    """MLP over n concatenated ordered frame features."""
+
+    def __init__(self, num_inputs, in_features, out_features,
+                 bottleneck_dim=512):
+        super().__init__()
+        self.num_inputs, self.in_features = num_inputs, in_features
+        self.out_features = out_features
+        self.relate = tnn.Sequential(
+            tnn.ReLU(),
+            tnn.Linear(num_inputs * in_features, bottleneck_dim),
+            tnn.ReLU(),
+            tnn.Linear(bottleneck_dim, out_features))
+
+    def forward(self, x):
+        h = x.reshape(-1, self.num_inputs * self.in_features)
+        return self.relate(h).view(x.size(0), -1, self.out_features)
+
+
+class MultiScaleRelationTwin(tnn.Module):
+    """Sum of subsampled k-frame relations for k = n..2; the subsets are
+    drawn with np.random.choice like the reference, so use a segment count
+    where num_relations covers ALL combinations for determinism."""
+
+    def __init__(self, num_inputs, in_features, out_features,
+                 bottleneck_dim=512, num_relations=3):
+        super().__init__()
+        import itertools
+        self.scales = list(range(num_inputs, 1, -1))
+        self.combos = [list(itertools.combinations(range(num_inputs), s))
+                       for s in self.scales]
+        self.nsub = [min(num_relations, len(c)) for c in self.combos]
+        self.out_features = out_features
+        self.relations = tnn.ModuleList([
+            RelationTwin(s, in_features, out_features, bottleneck_dim)
+            for s in self.scales])
+
+    def forward(self, x):
+        import numpy as np
+        out = []
+        for si in range(len(self.scales)):
+            idxs = np.random.choice(len(self.combos[si]), self.nsub[si],
+                                    replace=False)
+            for idx in idxs:
+                sel = x[..., list(self.combos[si][idx]), :]
+                out.append(self.relations[si](sel))
+        return torch.stack(out).sum(0).view(x.size(0), -1, self.out_features)
+
+
+class TRNTwin(tnn.Module):
+    """Backbone runs per frame (its classifier replaced by Dropout), then a
+    relation consensus head + linear classifier."""
+
+    def __init__(self, base, frame_dim, num_classes, num_segments,
+                 consensus='MSTRN', video_dim=1024, bottleneck=1024):
+        super().__init__()
+        self.num_segments = num_segments
+        self.base_model = base     # classifier must already be tnn.Dropout
+        cls = (MultiScaleRelationTwin if consensus == 'MSTRN'
+               else RelationTwin)
+        self.temporal_relation = cls(num_segments, frame_dim, video_dim,
+                                     bottleneck)
+        self.last_linear = tnn.Linear(video_dim, num_classes)
+
+    def forward(self, x):
+        # x: (N, T, 3, H, W)
+        b = x.size(0)
+        feats = self.base_model(x.reshape((-1,) + x.shape[2:]))
+        feats = feats.view(b, -1, self.num_segments, feats.size(-1))
+        rel = self.temporal_relation(feats)
+        return self.last_linear(rel.reshape(b, -1))
