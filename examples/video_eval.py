@@ -102,9 +102,10 @@ def main():
     batch_time, losses, top1, top5 = (AverageMeter() for _ in range(4))
     batch_clips, batch_labels = [], []
     t_last = time.time()
+    batch_idx = 0
 
-    def flush(i):
-        nonlocal t_last
+    def flush():
+        nonlocal t_last, batch_idx
         if not batch_clips:
             return
         # pad ragged final batches to the sharding multiple (label -1 rows
@@ -122,16 +123,17 @@ def main():
         batch_labels.clear()
         batch_time.update(time.time() - t_last)
         t_last = time.time()
-        if i % args.print_freq == 0:
+        if batch_idx % args.print_freq == 0:
             # same meter-line format as the reference validate()
             # (imagenet_eval.py:241-251)
-            print(f'Test: [{i}/{len(videos)}]\t'
+            print(f'Test: [{batch_idx}/{-(-len(videos) // args.batch_size)}]\t'
                   f'Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t'
                   f'Loss {losses.val:.4f} ({losses.avg:.4f})\t'
                   f'Acc@1 {top1.val:.3f} ({top1.avg:.3f})\t'
                   f'Acc@5 {top5.val:.3f} ({top5.avg:.3f})')
+        batch_idx += 1
 
-    for i, (frames, label) in enumerate(videos):
+    for frames, label in videos:
         clip_paths = sample_clips(frames, args.clips, args.frames)
         flat = [p for clip in clip_paths for p in clip]
         arrays = decode_jpeg_files(flat, threads=args.workers)
@@ -144,8 +146,8 @@ def main():
         batch_clips.append(jnp.stack(clips))
         batch_labels.append(label)
         if len(batch_clips) == args.batch_size:
-            flush(i)
-    flush(len(videos))
+            flush()
+    flush()
     print(f' * Acc@1 {top1.avg:.3f} Acc@5 {top5.avg:.3f}')
 
 

@@ -29,9 +29,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                 n_valid: int, block_k: int, scale: float):
-    """Grid: (B, num_q_blocks, num_k_blocks). Streaming softmax over axis 2."""
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                 *, n_valid: int, block_k: int, scale: float):
+    """Grid: (B, num_q_blocks, num_k_blocks). Streaming softmax over axis 2.
+    Also emits the per-row logsumexp (for the blockwise backward)."""
     kb = pl.program_id(2)
     is_first = kb == 0
     is_last = kb == pl.num_programs(2) - 1
@@ -66,6 +67,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     @pl.when(is_last)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
 
 
 def _round_up(x, m):
@@ -74,9 +76,10 @@ def _round_up(x, m):
 
 @functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k',
                                              'interpret'))
-def nonlocal_attention(q, k, v, scale: float = 1.0, block_q: int = 256,
-                       block_k: int = 512, interpret: bool = False):
-    """softmax(q @ k^T * scale) @ v, blockwise. q,k,v: (B, N, C)."""
+def _nonlocal_attention_fwd_lse(q, k, v, scale: float = 1.0,
+                                block_q: int = 256, block_k: int = 512,
+                                interpret: bool = False):
+    """Blockwise forward returning (out[B,N,C], logsumexp[B,N])."""
     b, n, c = q.shape
     bq = min(block_q, _round_up(n, 128))
     bk = min(block_k, _round_up(n, 128))
@@ -85,7 +88,7 @@ def nonlocal_attention(q, k, v, scale: float = 1.0, block_q: int = 256,
     qp, kp, vp = (jnp.pad(a, pad) for a in (q, k, v))
 
     grid = (b, n_pad // bq, n_pad // bk)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_attn_kernel, n_valid=n, block_k=bk, scale=scale),
         grid=grid,
         in_specs=[
@@ -93,8 +96,14 @@ def nonlocal_attention(q, k, v, scale: float = 1.0, block_q: int = 256,
             pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
             pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bq), lambda i, j, kk: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),     # running max
             pltpu.VMEM((bq, 1), jnp.float32),     # running normalizer
@@ -106,7 +115,156 @@ def nonlocal_attention(q, k, v, scale: float = 1.0, block_q: int = 256,
             bytes_accessed=(3 * b * n_pad * c + b * n_pad * c) * 4,
             transcendentals=b * n_pad * n_pad),
     )(qp, kp, vp)
-    return out[:, :n]
+    return out[:, :n], lse[:, :n]
+
+
+def nonlocal_attention(q, k, v, scale: float = 1.0, block_q: int = 256,
+                       block_k: int = 512, interpret: bool = False):
+    """softmax(q @ k^T * scale) @ v, blockwise. q,k,v: (B, N, C)."""
+    return _nonlocal_attention_fwd_lse(q, k, v, scale=scale, block_q=block_q,
+                                       block_k=block_k, interpret=interpret)[0]
+
+
+def _attn_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                    acc_ref, *, n_valid: int, block_k: int, scale: float):
+    """Grid (B, num_q_blocks, num_k_blocks): dq_i = sum_j ds_ij @ k_j with
+    ds = p * (do v^T - delta) * scale, p = exp(s - lse)."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        s = s * scale
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, None])              # (bq, bk)
+    do = do_ref[0].astype(jnp.float32)
+    dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0][:, None]) * scale     # (bq, bk)
+    acc_ref[:] += jax.lax.dot_general(ds, k_ref[0], (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _attn_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     dk_ref, dv_ref, dk_acc, dv_acc, *,
+                     n_valid: int, block_q: int, scale: float):
+    """Grid (B, num_k_blocks, num_q_blocks): dv_j = sum_i p_ij^T do_i,
+    dk_j = sum_i ds_ij^T q_i."""
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    # s^T computed directly: (bk, bq)
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        st = st * scale
+    # mask padded query ROWS of the transposed matrix = columns here
+    row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+    pt = jnp.where(row < n_valid,
+                   jnp.exp(st - lse_ref[0][None, :]), 0.0)     # (bk, bq)
+    do = do_ref[0].astype(jnp.float32)                         # (bq, C)
+    dv_acc[:] += jax.lax.dot_general(pt, do, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dpt = jax.lax.dot_general(v_ref[0], do, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (bk, bq)
+    dst = pt * (dpt - delta_ref[0][None, :]) * scale
+    dk_acc[:] += jax.lax.dot_general(dst, q, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(qb == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k',
+                                             'interpret'))
+def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
+                                      block_q: int = 256, block_k: int = 512,
+                                      interpret: bool = False):
+    """Flash-style blockwise backward: O(N) memory, never materializes the
+    N x N affinity (VERDICT r1 #5; replaces the reference-VJP fallback that
+    did — nonlocalnet.py:143-166 is the O(N^2) formulation)."""
+    b, n, c = q.shape
+    bq = min(block_q, _round_up(n, 128))
+    bk = min(block_k, _round_up(n, 128))
+    n_pad = _round_up(n, math.lcm(bq, bk))
+    pad = [(0, 0), (0, n_pad - n), (0, 0)]
+    qp, kp, vp, dop = (jnp.pad(a, pad) for a in (q, k, v, do))
+    # delta_i = rowsum(do_i * o_i); padded rows contribute zero cotangent
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    lsep = jnp.pad(lse, [(0, 0), (0, n_pad - n)])
+    deltap = jnp.pad(delta, [(0, 0), (0, n_pad - n)])
+
+    row_spec = lambda i, j, kk: (i, j)          # noqa: E731
+    dq = pl.pallas_call(
+        functools.partial(_attn_dq_kernel, n_valid=n, block_k=bk, scale=scale),
+        grid=(b, n_pad // bq, n_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bq), row_spec),
+            pl.BlockSpec((1, bq), row_spec),
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, c), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * n_pad * n_pad * c,
+            bytes_accessed=6 * b * n_pad * c * 4,
+            transcendentals=b * n_pad * n_pad),
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    qcol_spec = lambda i, j, qq: (i, qq)        # noqa: E731
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_dkv_kernel, n_valid=n, block_q=bq,
+                          scale=scale),
+        grid=(b, n_pad // bk, n_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda i, j, qq: (i, qq, 0)),
+            pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
+            pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
+            pl.BlockSpec((1, bq, c), lambda i, j, qq: (i, qq, 0)),
+            pl.BlockSpec((1, bq), qcol_spec),
+            pl.BlockSpec((1, bq), qcol_spec),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
+            pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, c), k.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, c), v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((bk, c), jnp.float32),
+                        pltpu.VMEM((bk, c), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * n_pad * n_pad * c,
+            bytes_accessed=8 * b * n_pad * c * 4,
+            transcendentals=b * n_pad * n_pad),
+    )(qp, kp, vp, dop, lsep, deltap)
+    return dq[:, :n], dk[:, :n], dv[:, :n]
 
 
 def nonlocal_attention_reference(q, k, v, scale: float = 1.0):
@@ -116,23 +274,21 @@ def nonlocal_attention_reference(q, k, v, scale: float = 1.0):
     return jnp.einsum('bnm,bmc->bnc', p, v.astype(jnp.float32)).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _nonlocal_attention_ad(q, k, v, scale):
-    return nonlocal_attention(q, k, v, scale=scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _nonlocal_attention_ad(q, k, v, scale, interpret=False):
+    return nonlocal_attention(q, k, v, scale=scale, interpret=interpret)
 
 
-def _nl_fwd(q, k, v, scale):
-    return nonlocal_attention(q, k, v, scale=scale), (q, k, v)
+def _nl_fwd(q, k, v, scale, interpret):
+    o, lse = _nonlocal_attention_fwd_lse(q, k, v, scale=scale,
+                                         interpret=interpret)
+    return o, (q, k, v, o, lse)
 
 
-def _nl_bwd(scale, res, g):
-    # Backward via the reference formulation (materializes N x N for the
-    # gradient; a blockwise backward kernel is future work). Forward memory —
-    # the usual bottleneck during eval/serving — stays streaming.
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: nonlocal_attention_reference(
-        a, b, c, scale=scale), q, k, v)
-    return vjp(g)
+def _nl_bwd(scale, interpret, res, g):
+    q, k, v, o, lse = res
+    return _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, g, scale=scale,
+                                             interpret=interpret)
 
 
 _nonlocal_attention_ad.defvjp(_nl_fwd, _nl_bwd)

@@ -1,0 +1,49 @@
+"""In-process end-to-end example runs on CPU (VERDICT r1 #8): the cheap
+always-on complement to the slow-gated subprocess CLI tests."""
+
+import os
+import runpy
+import sys
+
+import numpy as np
+from PIL import Image
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_example(script, argv, capsys):
+    old = sys.argv
+    sys.argv = [script] + argv
+    try:
+        runpy.run_path(os.path.join(ROOT, script), run_name='__main__')
+    finally:
+        sys.argv = old
+    return capsys.readouterr().out
+
+
+def test_imagenet_logits_inprocess(capsys):
+    out = _run_example(
+        'examples/imagenet_logits.py',
+        [os.path.join(ROOT, 'data/cat.jpg'), '-a', 'resnet18',
+         '--pretrained', 'none'], capsys)
+    assert "is a '" in out, out
+
+
+def test_video_eval_inprocess(tmp_path, capsys):
+    """Tiny frame-folder dataset through the full multi-clip consensus eval,
+    including the ragged-final-batch padding path on the 8-device mesh."""
+    rng = np.random.RandomState(0)
+    for cls in ('applauding', 'boxing'):
+        for vid in ('v0', 'v1', 'v2'):          # 6 videos; batch 4 -> ragged
+            d = tmp_path / cls / vid
+            d.mkdir(parents=True)
+            for f in range(5):
+                arr = rng.randint(0, 255, (40, 40, 3), np.uint8)
+                Image.fromarray(arr).save(d / f'frame_{f:05d}.jpg')
+    out = _run_example(
+        'examples/video_eval.py',
+        [str(tmp_path), '-a', 'resnet3d10', '--pretrained', 'none',
+         '--num-classes', '2', '--frames', '4', '--clips', '2',
+         '--size', '32', '--batch-size', '4', '-j', '1'], capsys)
+    assert ' * Acc@1 ' in out, out
+    assert 'Loss' in out, out

@@ -134,3 +134,44 @@ def test_nonlocal_zero_init_is_identity():
     variables = module.init(jax.random.key(0), x)
     out = module.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out), x, atol=1e-6)
+
+
+def test_pallas_attention_blockwise_backward():
+    """Flash-style dq/dk/dv kernels match the reference VJP (VERDICT r1 #5),
+    including the key/query padding path (N not a block multiple)."""
+    from pretorched_tpu.ops.pallas.nonlocal_attention import (
+        _nonlocal_attention_ad, nonlocal_attention_reference)
+    rng = np.random.RandomState(1)
+    for n in (256, 300):    # exact blocks + ragged padding
+        q = rng.randn(2, n, 32).astype(np.float32)
+        k = rng.randn(2, n, 32).astype(np.float32)
+        v = rng.randn(2, n, 32).astype(np.float32)
+        ct = rng.randn(2, n, 32).astype(np.float32)
+
+        def loss_pallas(q, k, v):
+            return (jax.numpy.asarray(ct) *
+                    _nonlocal_attention_ad(q, k, v, 0.5, True)).sum()
+
+        def loss_ref(q, k, v):
+            return (jax.numpy.asarray(ct) *
+                    nonlocal_attention_reference(q, k, v, scale=0.5)).sum()
+
+        got = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for g, r, name in zip(got, ref, 'qkv'):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f'd{name} n={n}')
+
+
+def test_pallas_attention_lse():
+    from pretorched_tpu.ops.pallas.nonlocal_attention import (
+        _nonlocal_attention_fwd_lse)
+    rng = np.random.RandomState(0)
+    q = rng.randn(1, 200, 16).astype(np.float32)
+    k = rng.randn(1, 200, 16).astype(np.float32)
+    v = rng.randn(1, 200, 16).astype(np.float32)
+    out, lse = _nonlocal_attention_fwd_lse(q, k, v, interpret=True)
+    s = np.einsum('bnc,bmc->bnm', q, k)
+    ref_lse = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + s.max(-1)
+    np.testing.assert_allclose(np.asarray(lse), ref_lse, rtol=1e-4, atol=1e-4)
