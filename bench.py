@@ -1,22 +1,29 @@
 #!/usr/bin/env python
-"""Benchmark: resnet3d50 video inference throughput on one TPU chip.
+"""Benchmarks on one TPU chip. Prints ONE JSON line whose top-level keys are
+the headline metric ({"metric", "value", "unit", "vs_baseline"}) plus
+"rows" (the full suite) and "mfu" (roofline note for the headline).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Rows (VERDICT r1 #4):
+  1. resnet3d50 16f 224px bf16 b128 s2d inference   (headline, + MFU)
+  2. resnet50 2D 224px bf16 b128 inference
+  3. nonlocalresnet3d50 16f 224px — Pallas blockwise attention engaged
+     (layer2 N = 16*28*28 = 12544 >= PALLAS_MIN_N)
+  4. 10-clip consensus eval step (multi_clip_eval_step math)
+  5. fused uint8 decode->preprocess->forward device pipeline
+  6. nonlocal attention kernel fwd+bwd, N=8192 (blockwise backward)
 
-Config matches BASELINE.json's headline metric: resnet3d50 (Kinetics
-architecture), 16-frame 224x224 clips, bf16 compute, channels-last, jit.
-The reference publishes no throughput numbers (BASELINE.md), so
-``vs_baseline`` is measured against VS_BASELINE_CLIPS_PER_SEC — a documented
-estimate of the PyTorch reference on a datacenter GPU (V100-class, fp32,
-cuDNN benchmark mode): ~100 clips/s for this model/clip size. The north-star
-target is >=10x (BASELINE.json).
+The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
+is measured against VS_BASELINE_CLIPS_PER_SEC — a documented estimate of the
+PyTorch reference on a datacenter GPU (V100-class, fp32, cuDNN benchmark
+mode): ~100 clips/s for this model/clip size. North-star >= 10x.
 
 Measurement notes (this sandbox): the axon TPU tunnel has a ~15min cold
-device->host path and an unreliable block_until_ready, so the timed loop runs
-*inside* one jit via lax.scan (sequential by carry dependency) and completion
-is forced with jax.device_get of a scalar checksum.
+device->host path and an unreliable block_until_ready, so every timed loop
+runs *inside* one jit via lax.scan (sequential by carry dependency) and
+completion is forced with jax.device_get of a scalar checksum.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -25,11 +32,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 VS_BASELINE_CLIPS_PER_SEC = 100.0
+V5E_BF16_PEAK_FLOPS = 197e12
 
 BATCH = int(os.environ.get('BENCH_BATCH', '128'))
 FRAMES = int(os.environ.get('BENCH_FRAMES', '16'))
 SIZE = int(os.environ.get('BENCH_SIZE', '224'))
 ITERS = int(os.environ.get('BENCH_ITERS', '20'))
+ONLY = os.environ.get('BENCH_ONLY', '')       # comma list of row names
 
 
 def main():
@@ -45,53 +54,220 @@ def main():
     print(f'# cold-path warmup: {time.perf_counter() - t0:.1f}s',
           file=sys.stderr)
 
-    import dataclasses
+    rows = []
 
-    model = pretorched.resnet3d50(num_classes=400, pretrained=None)
-    model.bfloat16()
-    # exact space-to-depth stem folding: +5% on v5e, bit-identical outputs
-    module = dataclasses.replace(model.module, s2d_stem=True)
-    variables = model.variables
+    def timed_scan(apply_fn, x, iters, tag):
+        """sec/iter of apply_fn(x) with OOM batch-halving; returns
+        (sec_per_iter, batch_used)."""
+        batch = x.shape[0]
+        while True:
+            xb = x[:batch]
 
-    @jax.jit
-    def forward_many(variables, clip):
-        def body(carry, _):
-            out = module.apply(variables, carry)
-            # scalar data dependency so iterations cannot overlap/elide
-            carry = carry + (out[0, 0] * 0).astype(carry.dtype)
-            return carry, out[0, 0]
-        _, outs = jax.lax.scan(body, clip, None, length=ITERS)
-        return jnp.sum(outs.astype(jnp.float32))
+            @jax.jit
+            def many(xb):
+                def body(carry, _):
+                    out = apply_fn(carry)
+                    carry = carry + (out * 0).astype(carry.dtype)
+                    return carry, jnp.float32(jnp.sum(out.astype(jnp.float32)))
+                _, outs = jax.lax.scan(body, xb, None, length=iters)
+                return jnp.sum(outs)
 
-    batch = BATCH
-    while True:
-        clip = jnp.asarray(
-            np.random.RandomState(0).rand(batch, FRAMES, SIZE, SIZE, 3),
-            jnp.bfloat16)
-        try:
-            t0 = time.perf_counter()
-            jax.device_get(forward_many(variables, clip))  # compile + first
-            print(f'# b{batch} compile+first: {time.perf_counter() - t0:.1f}s',
-                  file=sys.stderr)
-            break
-        except Exception as e:  # noqa: BLE001 — OOM insurance: halve batch
-            if batch <= 4:
-                raise
-            print(f'# b{batch} failed ({type(e).__name__}); retrying b{batch//2}',
-                  file=sys.stderr)
-            batch //= 2
+            try:
+                t0 = time.perf_counter()
+                jax.device_get(many(xb))
+                print(f'# {tag} b{batch} compile+first: '
+                      f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
+                break
+            except Exception as e:  # noqa: BLE001 — OOM insurance
+                if batch <= 2:
+                    raise
+                print(f'# {tag} b{batch} failed ({type(e).__name__}); '
+                      f'retrying b{batch // 2}', file=sys.stderr)
+                batch //= 2
+        t0 = time.perf_counter()
+        jax.device_get(many(xb))
+        return (time.perf_counter() - t0) / iters, batch
 
-    t0 = time.perf_counter()
-    jax.device_get(forward_many(variables, clip))
-    dt = (time.perf_counter() - t0) / ITERS
+    def want(name):
+        return not ONLY or name in ONLY.split(',')
 
-    clips_per_sec = batch / dt
-    print(json.dumps({
-        'metric': f'resnet3d50 {FRAMES}f{SIZE}px bf16 clips/sec/chip',
-        'value': round(clips_per_sec, 2),
-        'unit': 'clips/s',
-        'vs_baseline': round(clips_per_sec / VS_BASELINE_CLIPS_PER_SEC, 3),
-    }))
+    rng = np.random.RandomState(0)
+
+    # ------------------------------------------------ 1. resnet3d50 headline
+    headline = None
+    if want('resnet3d50'):
+        model = pretorched.resnet3d50(num_classes=400, pretrained=None)
+        model.bfloat16()
+        # exact space-to-depth stem folding: +5% on v5e, bit-identical outputs
+        module = dataclasses.replace(model.module, s2d_stem=True)
+        variables = model.variables
+        clip = jnp.asarray(rng.rand(BATCH, FRAMES, SIZE, SIZE, 3),
+                           jnp.bfloat16)
+
+        def fwd(c, variables=variables, module=module):
+            out = module.apply(variables, c)
+            return out[0, 0]
+
+        dt, b = timed_scan(fwd, clip, ITERS, 'resnet3d50')
+        clips_s = b / dt
+        # roofline: XLA cost analysis of one forward
+        fwd1 = jax.jit(lambda v, c: module.apply(v, c))
+        ca = fwd1.lower(variables, clip[:b]).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_fwd = float(ca.get('flops', 0.0))
+        gf_per_clip = flops_fwd / b / 1e9
+        mfu = flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS
+        headline = {
+            'metric': f'resnet3d50 {FRAMES}f{SIZE}px bf16 clips/sec/chip',
+            'value': round(clips_s, 2),
+            'unit': 'clips/s',
+            'vs_baseline': round(clips_s / VS_BASELINE_CLIPS_PER_SEC, 3),
+        }
+        rows.append(dict(headline, batch=b,
+                         gflops_per_clip=round(gf_per_clip, 1),
+                         mfu=round(mfu, 3)))
+
+    # ------------------------------------------------ 2. resnet50 2D
+    if want('resnet50'):
+        m2 = pretorched.resnet50(num_classes=1000, pretrained=None)
+        m2.bfloat16()
+        img = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3), jnp.bfloat16)
+
+        def fwd2(x, m2=m2):
+            return m2.apply(m2.variables, x)[0, 0]
+
+        dt, b = timed_scan(fwd2, img, ITERS, 'resnet50-2d')
+        rows.append({'metric': f'resnet50 2D {SIZE}px bf16 img/sec/chip',
+                     'value': round(b / dt, 1), 'unit': 'img/s', 'batch': b})
+
+    # ---------------------------- 3. nonlocal resnet3d50 (Pallas engaged)
+    if want('nonlocal'):
+        nl = pretorched.nonlocalresnet3d50(num_classes=400, pretrained=None)
+        nl.bfloat16()
+        clip = jnp.asarray(rng.rand(16, FRAMES, SIZE, SIZE, 3), jnp.bfloat16)
+
+        def fwdn(c, nl=nl):
+            return nl.apply(nl.variables, c)[0, 0]
+
+        dt, b = timed_scan(fwdn, clip, max(ITERS // 2, 5), 'nonlocal3d50')
+        rows.append({
+            'metric': (f'nonlocalresnet3d50 {FRAMES}f{SIZE}px bf16 '
+                       f'clips/sec/chip (Pallas blockwise, layer2 N=12544)'),
+            'value': round(b / dt, 2), 'unit': 'clips/s', 'batch': b})
+
+    # ---------------------------------------- 4. 10-clip consensus eval
+    if want('multiclip'):
+        model = pretorched.resnet3d50(num_classes=400, pretrained=None)
+        model.bfloat16()
+        module, variables = model.module, model.variables
+        nclips = 10
+        vids = jnp.asarray(rng.rand(4, nclips, FRAMES, SIZE, SIZE, 3),
+                           jnp.bfloat16)
+
+        def consensus(c, module=module, variables=variables):
+            b, n = c.shape[:2]
+            flat = c.reshape((b * n,) + c.shape[2:])
+            logits = module.apply(variables, flat).astype(jnp.float32)
+            probs = jnp.mean(jax.nn.softmax(logits.reshape(b, n, -1), -1), 1)
+            return jnp.max(probs)       # scalar dependency
+
+        dt, b = timed_scan(consensus, vids, max(ITERS // 2, 5), 'multiclip')
+        rows.append({
+            'metric': (f'resnet3d50 10-clip consensus eval {FRAMES}f{SIZE}px '
+                       f'bf16 videos/sec/chip'),
+            'value': round(b / dt, 2), 'unit': 'videos/s', 'batch': b,
+            'clips_per_sec': round(b * nclips / dt, 1)})
+
+    # --------------------------- 5. fused preprocess -> forward pipeline
+    if want('pipeline'):
+        from pretorched_tpu.transforms.fused import _fused, _settings_tuple
+        model = pretorched.resnet3d50(num_classes=400, pretrained=None)
+        model.bfloat16()
+        module, variables = model.module, model.variables
+        spec = _settings_tuple(model.settings or {
+            'input_size': [3, SIZE, SIZE], 'input_space': 'RGB',
+            'input_range': [0, 1], 'mean': [0.485, 0.456, 0.406],
+            'std': [0.229, 0.224, 0.225]})
+        raw = jnp.asarray(rng.randint(0, 255, (32, FRAMES, 256, 256, 3)),
+                          jnp.uint8)
+
+        def pipe(u8, module=module, variables=variables, spec=spec):
+            b, t = u8.shape[:2]
+            frames = u8.reshape((b * t,) + u8.shape[2:])
+            x = _fused(frames, spec)                     # resize/crop/norm
+            x = x.reshape((b, t) + x.shape[1:]).astype(jnp.bfloat16)
+            return module.apply(variables, x)[0, 0]
+
+        # uint8 input: thread a zero-valued uint8 carry into the input so the
+        # loop body can't be hoisted as loop-invariant
+        @jax.jit
+        def many(u8):
+            def body(carry, _):
+                out = pipe(u8 + carry)
+                return (out * 0).astype(jnp.uint8), out
+            _, outs = jax.lax.scan(body, jnp.uint8(0), None,
+                                   length=max(ITERS // 2, 5))
+            return jnp.sum(outs.astype(jnp.float32))
+
+        t0 = time.perf_counter()
+        jax.device_get(many(raw))
+        print(f'# pipeline compile+first: {time.perf_counter() - t0:.1f}s',
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        jax.device_get(many(raw))
+        dt = (time.perf_counter() - t0) / max(ITERS // 2, 5)
+        rows.append({
+            'metric': (f'fused uint8 256px->preprocess->{SIZE}px forward '
+                       f'{FRAMES}f device pipeline clips/sec/chip'),
+            'value': round(32 / dt, 2), 'unit': 'clips/s', 'batch': 32})
+
+    # ------------------------------- 6. nonlocal attention kernel fwd+bwd
+    if want('attn'):
+        from pretorched_tpu.ops.pallas.nonlocal_attention import (
+            _nonlocal_attention_ad)
+        n, c = 8192, 64
+        q = jnp.asarray(rng.randn(1, n, c), jnp.float32)
+        k = jnp.asarray(rng.randn(1, n, c), jnp.float32)
+        v = jnp.asarray(rng.randn(1, n, c), jnp.float32)
+
+        def attn_loss(q, k, v):
+            return _nonlocal_attention_ad(q, k, v, 1.0, False).sum()
+
+        gfn = jax.jit(jax.grad(attn_loss, argnums=(0, 1, 2)))
+
+        @jax.jit
+        def many(q, k, v):
+            def body(carry, _):
+                dq, dk, dv = gfn(carry, k, v)
+                return carry + dq * 0, dq[0, 0, 0]
+            _, outs = jax.lax.scan(body, q, None, length=10)
+            return jnp.sum(outs)
+
+        t0 = time.perf_counter()
+        jax.device_get(many(q, k, v))
+        print(f'# attn compile+first: {time.perf_counter() - t0:.1f}s',
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        jax.device_get(many(q, k, v))
+        dt = (time.perf_counter() - t0) / 10
+        rows.append({
+            'metric': (f'nonlocal attention fwd+bwd blockwise kernel '
+                       f'N={n} C={c} f32 ms/iter'),
+            'value': round(dt * 1000, 2), 'unit': 'ms'})
+
+    if headline is None:
+        headline = dict(rows[0]) if rows else {
+            'metric': 'no rows selected', 'value': 0, 'unit': '', }
+    out = dict(headline)
+    out['rows'] = rows
+    hrow = rows[0] if rows and 'mfu' in rows[0] else {}
+    if hrow:
+        out['mfu'] = hrow['mfu']
+        out['roofline'] = (
+            f"{hrow['gflops_per_clip']} GF/clip x {headline['value']} clips/s"
+            f" = {hrow['gflops_per_clip'] * headline['value'] / 1000:.1f}"
+            f" TFLOP/s vs ~197 TFLOP/s v5e bf16 peak")
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

@@ -52,3 +52,35 @@ def test_multi_clip_eval_sharded():
     out = jax.device_get(step(m.variables, clips, labels))
     assert int(out['count']) == 8
     assert 0 <= int(out['top1']) <= 8
+
+
+def test_soundnet_wav_ingestion(tmp_path):
+    """WAV -> waveform -> SoundNet end to end (the reference's mp3 demo,
+    soundnet.py:93-98, with a native stdlib decoder + tiling for short
+    audio)."""
+    import wave
+
+    from pretorched_tpu.datasets.audio import load_audio, soundnet_input
+
+    # synthesize a 1-second 8kHz sine, 16-bit mono
+    sr, freq = 8000, 440.0
+    t = np.arange(sr) / sr
+    pcm = (np.sin(2 * np.pi * freq * t) * 30000).astype(np.int16)
+    path = tmp_path / 'tone.wav'
+    with wave.open(str(path), 'wb') as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+    x, rate = load_audio(str(path), sample_rate=22050)
+    assert rate == 22050
+    assert abs(len(x) - 22050) <= 2 and x.shape[1] == 1
+    assert np.abs(x).max() <= 1.0
+
+    batch = soundnet_input(str(path), min_length=67724)
+    assert batch.shape == (1, 67724, 1)
+    m = p.soundnet8(num_classes=11, pretrained=None)
+    out = m.module.apply(m.variables, jnp.asarray(batch))
+    assert out.shape == (1, 11)
+    assert np.isfinite(np.asarray(out)).all()
