@@ -144,15 +144,20 @@ def main():
     if want('nonlocal'):
         nl = pretorched.nonlocalresnet3d50(num_classes=400, pretrained=None)
         nl.bfloat16()
-        clip = jnp.asarray(rng.rand(16, FRAMES, SIZE, SIZE, 3), jnp.bfloat16)
+        # 32-frame clips: layer2 runs at T=8, 28px -> N = 8*28*28 = 6272
+        # >= PALLAS_MIN_N, so the blockwise kernel is actually engaged
+        # (16-frame clips give N=3136 and fall back to the XLA einsum)
+        nl_frames = max(FRAMES, 32)
+        clip = jnp.asarray(rng.rand(8, nl_frames, SIZE, SIZE, 3),
+                           jnp.bfloat16)
 
         def fwdn(c, nl=nl):
             return nl.apply(nl.variables, c)[0, 0]
 
         dt, b = timed_scan(fwdn, clip, max(ITERS // 2, 5), 'nonlocal3d50')
         rows.append({
-            'metric': (f'nonlocalresnet3d50 {FRAMES}f{SIZE}px bf16 '
-                       f'clips/sec/chip (Pallas blockwise, layer2 N=12544)'),
+            'metric': (f'nonlocalresnet3d50 {nl_frames}f{SIZE}px bf16 '
+                       f'clips/sec/chip (Pallas blockwise, layer2 N=6272)'),
             'value': round(b / dt, 2), 'unit': 'clips/s', 'batch': b})
 
     # ---------------------------------------- 4. 10-clip consensus eval
@@ -161,7 +166,7 @@ def main():
         model.bfloat16()
         module, variables = model.module, model.variables
         nclips = 10
-        vids = jnp.asarray(rng.rand(4, nclips, FRAMES, SIZE, SIZE, 3),
+        vids = jnp.asarray(rng.rand(12, nclips, FRAMES, SIZE, SIZE, 3),
                            jnp.bfloat16)
 
         def consensus(c, module=module, variables=variables):
@@ -188,7 +193,7 @@ def main():
             'input_size': [3, SIZE, SIZE], 'input_space': 'RGB',
             'input_range': [0, 1], 'mean': [0.485, 0.456, 0.406],
             'std': [0.229, 0.224, 0.225]})
-        raw = jnp.asarray(rng.randint(0, 255, (32, FRAMES, 256, 256, 3)),
+        raw = jnp.asarray(rng.randint(0, 255, (64, FRAMES, 256, 256, 3)),
                           jnp.uint8)
 
         def pipe(u8, module=module, variables=variables, spec=spec):
@@ -219,7 +224,7 @@ def main():
         rows.append({
             'metric': (f'fused uint8 256px->preprocess->{SIZE}px forward '
                        f'{FRAMES}f device pipeline clips/sec/chip'),
-            'value': round(32 / dt, 2), 'unit': 'clips/s', 'batch': 32})
+            'value': round(64 / dt, 2), 'unit': 'clips/s', 'batch': 64})
 
     # ------------------------------- 6. nonlocal attention kernel fwd+bwd
     if want('attn'):

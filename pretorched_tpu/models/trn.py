@@ -103,7 +103,13 @@ class MultiScaleRelation(nn.Module):
 
 
 class HierarchicalRelation(nn.Module):
-    """Recursive neighborhood relations (trn.py:116-159)."""
+    """Recursive neighborhood relations (trn.py:116-159).
+
+    The reference's forward crashes as shipped: ``torch.stack(outs)`` over
+    per-level tensors of differing window counts (a leftover singleton dim
+    defeats the intended ``.sum(-2)`` window reduction) — verified by
+    executing its semantics verbatim. This implements the evident intent:
+    reduce each level's linear over its windows, mean over levels."""
 
     num_inputs: int
     in_features: int

@@ -67,7 +67,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
     @pl.when(is_last)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
+        lse_ref[0] = (m_ref[:, 0] + jnp.log(l_ref[:, 0]))[:, None]
 
 
 def _round_up(x, m):
@@ -98,11 +98,13 @@ def _nonlocal_attention_fwd_lse(q, k, v, scale: float = 1.0,
         ],
         out_specs=[
             pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
-            pl.BlockSpec((1, bq), lambda i, j, kk: (i, j)),
+            # (1, bq, 1) keeps the TPU (8, 128)-divisibility rule satisfied
+            # for any batch (a (1, bq) row block fails to lower when b > 1)
+            pl.BlockSpec((1, bq, 1), lambda i, j, kk: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n_pad, c), q.dtype),
-            jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),     # running max
@@ -115,7 +117,7 @@ def _nonlocal_attention_fwd_lse(q, k, v, scale: float = 1.0,
             bytes_accessed=(3 * b * n_pad * c + b * n_pad * c) * 4,
             transcendentals=b * n_pad * n_pad),
     )(qp, kp, vp)
-    return out[:, :n], lse[:, :n]
+    return out[:, :n], lse[:, :n, 0]
 
 
 def nonlocal_attention(q, k, v, scale: float = 1.0, block_q: int = 256,
@@ -143,11 +145,11 @@ def _attn_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         s = s * scale
     col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, None])              # (bq, bk)
+    p = jnp.exp(s - lse_ref[0])                       # (bq, bk); lse (bq, 1)
     do = do_ref[0].astype(jnp.float32)
     dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0][:, None]) * scale     # (bq, bk)
+    ds = p * (dp - delta_ref[0]) * scale              # (bq, bk)
     acc_ref[:] += jax.lax.dot_general(ds, k_ref[0], (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
 
@@ -178,13 +180,13 @@ def _attn_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     # mask padded query ROWS of the transposed matrix = columns here
     row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
     pt = jnp.where(row < n_valid,
-                   jnp.exp(st - lse_ref[0][None, :]), 0.0)     # (bk, bq)
+                   jnp.exp(st - lse_ref[0][:, 0][None, :]), 0.0)   # (bk, bq)
     do = do_ref[0].astype(jnp.float32)                         # (bq, C)
     dv_acc[:] += jax.lax.dot_general(pt, do, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dpt = jax.lax.dot_general(v_ref[0], do, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)  # (bk, bq)
-    dst = pt * (dpt - delta_ref[0][None, :]) * scale
+    dst = pt * (dpt - delta_ref[0][:, 0][None, :]) * scale
     dk_acc[:] += jax.lax.dot_general(dst, q, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
@@ -210,10 +212,10 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
     qp, kp, vp, dop = (jnp.pad(a, pad) for a in (q, k, v, do))
     # delta_i = rowsum(do_i * o_i); padded rows contribute zero cotangent
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    lsep = jnp.pad(lse, [(0, 0), (0, n_pad - n)])
-    deltap = jnp.pad(delta, [(0, 0), (0, n_pad - n)])
+    lsep = jnp.pad(lse, [(0, 0), (0, n_pad - n)])[..., None]
+    deltap = jnp.pad(delta, [(0, 0), (0, n_pad - n)])[..., None]
 
-    row_spec = lambda i, j, kk: (i, j)          # noqa: E731
+    row_spec = lambda i, j, kk: (i, j, 0)       # noqa: E731
     dq = pl.pallas_call(
         functools.partial(_attn_dq_kernel, n_valid=n, block_k=bk, scale=scale),
         grid=(b, n_pad // bq, n_pad // bk),
@@ -222,8 +224,8 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
             pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
             pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
             pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
-            pl.BlockSpec((1, bq), row_spec),
-            pl.BlockSpec((1, bq), row_spec),
+            pl.BlockSpec((1, bq, 1), row_spec),
+            pl.BlockSpec((1, bq, 1), row_spec),
         ],
         out_specs=pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c), q.dtype),
@@ -235,7 +237,7 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
             transcendentals=b * n_pad * n_pad),
     )(qp, kp, vp, dop, lsep, deltap)
 
-    qcol_spec = lambda i, j, qq: (i, qq)        # noqa: E731
+    qcol_spec = lambda i, j, qq: (i, qq, 0)     # noqa: E731
     dk, dv = pl.pallas_call(
         functools.partial(_attn_dkv_kernel, n_valid=n, block_q=bq,
                           scale=scale),
@@ -245,8 +247,8 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
             pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
             pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
             pl.BlockSpec((1, bq, c), lambda i, j, qq: (i, qq, 0)),
-            pl.BlockSpec((1, bq), qcol_spec),
-            pl.BlockSpec((1, bq), qcol_spec),
+            pl.BlockSpec((1, bq, 1), qcol_spec),
+            pl.BlockSpec((1, bq, 1), qcol_spec),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),

@@ -175,3 +175,24 @@ def test_pallas_attention_lse():
     s = np.einsum('bnc,bmc->bnm', q, k)
     ref_lse = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + s.max(-1)
     np.testing.assert_allclose(np.asarray(lse), ref_lse, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_attention_compiled_on_tpu():
+    """Compiled (non-interpret) kernel path — runs only when a real TPU is
+    attached (e.g. `JAX_PLATFORMS=axon pytest -p no:cacheprovider
+    tests/test_nonlocal.py -k compiled`); CI's CPU conftest skips it."""
+    if jax.default_backend() != 'tpu':
+        pytest.skip('needs a TPU backend (CI runs on the CPU mesh)')
+    from pretorched_tpu.ops.pallas.nonlocal_attention import (
+        _nonlocal_attention_ad, nonlocal_attention_reference)
+    rng = np.random.RandomState(0)
+    q, k, v = (jax.numpy.asarray(rng.randn(1, 4096, 64), 'float32')
+               for _ in range(3))
+    got = _nonlocal_attention_ad(q, k, v, 1.0, False)
+    ref = nonlocal_attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)   # bf16 matmul units
+    g = jax.jit(jax.grad(lambda a, b, c:
+                         _nonlocal_attention_ad(a, b, c, 1.0, False).sum(),
+                         argnums=(0, 1, 2)))(q, k, v)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
