@@ -47,3 +47,36 @@ def test_video_eval_inprocess(tmp_path, capsys):
          '--size', '32', '--batch-size', '4', '-j', '1'], capsys)
     assert ' * Acc@1 ' in out, out
     assert 'Loss' in out, out
+
+
+def test_imagenet_eval_train_loop_inprocess(tmp_path, capsys, monkeypatch):
+    """One tiny training epoch through examples/imagenet_eval.py: train step,
+    validate, checkpoint + model_best copy (reference imagenet_eval.py:154-159,
+    256-259). Slow-gated: two jit compiles at 224px on the 1-core sandbox."""
+    import pytest
+    if not os.environ.get('PRETORCHED_TEST_SLOW'):
+        pytest.skip('slow: set PRETORCHED_TEST_SLOW=1')
+    rng = np.random.RandomState(0)
+    for split, n in (('train', 4), ('val', 2)):
+        for cls in ('cat', 'dog'):
+            d = tmp_path / 'data' / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = rng.randint(0, 255, (64, 64, 3), np.uint8)
+                Image.fromarray(arr).save(d / f'{i}.jpg')
+    monkeypatch.chdir(tmp_path)
+    # train batch must be a multiple of the 8-device mesh's data axis
+    # (eval batches are padded+masked; train uses drop_last instead)
+    out = _run_example(
+        'examples/imagenet_eval.py',
+        [str(tmp_path / 'data'), '-a', 'resnet18', '-b', '8', '--epochs', '1',
+         '--pretrained', 'none', '-j', '1', '--lr', '0.01'], capsys)
+    assert 'Epoch: [0]' in out, out
+    assert ' * Acc@1 ' in out, out
+    assert (tmp_path / 'checkpoint.msgpack').exists()
+    assert (tmp_path / 'checkpoint.msgpack.meta').exists()
+    # model_best copies only when prec1 beats 0.0 (reference semantics,
+    # imagenet_eval.py:154-159) — random init on 4 val images may score 0
+    final = out.rsplit(' * Acc@1 ', 1)[1].split()[0]
+    if float(final) > 0:
+        assert (tmp_path / 'model_best.msgpack').exists()
