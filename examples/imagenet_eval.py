@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument('--scale', default=0.875, type=float)
     p.add_argument('--fast-pipeline', action='store_true',
                    help='native C++ JPEG decode + fused device preprocessing')
+    p.add_argument('--ten-crop', action='store_true',
+                   help='10-crop eval: 4 corners + center, each hflipped, '
+                        'softmax-averaged (README.md:198-199 style)')
     p.add_argument('--no-preserve-aspect-ratio', action='store_true',
                    help='square resize before crop (polynet eval, README.md:276)')
     p.add_argument('--cpu', action='store_true')
@@ -58,7 +61,9 @@ def main():
     from pretorched_tpu.core.wrapper import to_channels_last
     from pretorched_tpu.datasets.folder import ImageFolder, batch_iterator
     from pretorched_tpu.parallel import make_mesh, make_train_step
-    from pretorched_tpu.parallel.evaluate import make_eval_step, pad_batch
+    from pretorched_tpu.parallel.evaluate import (make_eval_step,
+                                                   multi_clip_eval_step,
+                                                   pad_batch)
     from pretorched_tpu.transforms import TransformImage
     from pretorched_tpu.utils import AverageMeter
     from pretorched_tpu.zoo import io as zoo_io
@@ -81,13 +86,24 @@ def main():
         with open(args.resume, 'rb') as f:
             model.variables = serialization.from_bytes(model.variables, f.read())
 
-    val_tf = TransformImage(settings, scale=scale,
-                            preserve_aspect_ratio=not args.no_preserve_aspect_ratio)
+    # 10-crop: square resize only (crop happens on device, 10 ways)
+    val_tf = TransformImage(
+        settings, scale=scale, crop=not args.ten_crop,
+        preserve_aspect_ratio=(not args.no_preserve_aspect_ratio
+                               and not args.ten_crop))
     valdir = os.path.join(args.data, 'val')
     val_set = ImageFolder(valdir, transform=val_tf)
     print(f'=> {len(val_set)} val images')
 
-    eval_step = make_eval_step(model, mesh=mesh)
+    if args.ten_crop:
+        from pretorched_tpu.transforms.fused import ten_crop
+        crop_size = max(settings['input_size'])
+        crop_step = multi_clip_eval_step(model.module, mesh=mesh)
+
+        def eval_step(variables, x, labels):
+            return crop_step(variables, ten_crop(x, crop_size), labels)
+    else:
+        eval_step = make_eval_step(model, mesh=mesh)
 
     def val_batches():
         if args.fast_pipeline:

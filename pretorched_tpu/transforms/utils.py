@@ -149,7 +149,8 @@ class TransformImage:
 
     def __init__(self, opts, scale: Optional[float] = None, random_crop=False,
                  random_hflip=False, random_vflip=False,
-                 preserve_aspect_ratio=True, seed: Optional[int] = None):
+                 preserve_aspect_ratio=True, seed: Optional[int] = None,
+                 crop: bool = True):
         if isinstance(opts, dict):
             get = opts.__getitem__
             has = opts.__contains__
@@ -181,8 +182,10 @@ class TransformImage:
             tfs.append(_Resize((height, width)))
         if random_crop:
             tfs.append(_RandomCrop(crop_size, rng))
-        else:
+        elif crop:
             tfs.append(_CenterCrop(crop_size))
+        # crop=False: resize only — the 10-crop eval path crops on device
+        # (transforms.fused.ten_crop)
         if random_hflip:
             tfs.append(_RandomFlip(Image.FLIP_LEFT_RIGHT, rng))
         if random_vflip:

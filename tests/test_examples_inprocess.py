@@ -80,3 +80,20 @@ def test_imagenet_eval_train_loop_inprocess(tmp_path, capsys, monkeypatch):
     final = out.rsplit(' * Acc@1 ', 1)[1].split()[0]
     if float(final) > 0:
         assert (tmp_path / 'model_best.msgpack').exists()
+
+
+def test_imagenet_eval_ten_crop_inprocess(tmp_path, capsys):
+    """--ten-crop: device 10-crop + softmax consensus through the sharded
+    multi-clip step (the reference's 10-crop-style run, README.md:198-199)."""
+    rng = np.random.RandomState(0)
+    for cls in ('a', 'b'):
+        d = tmp_path / 'val' / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = rng.randint(0, 255, (48, 48, 3), np.uint8)
+            Image.fromarray(arr).save(d / f'{i}.jpg')
+    out = _run_example(
+        'examples/imagenet_eval.py',
+        [str(tmp_path), '-a', 'resnet18', '-b', '4', '-e',
+         '--pretrained', 'none', '-j', '1', '--ten-crop'], capsys)
+    assert ' * Acc@1 ' in out, out

@@ -182,3 +182,26 @@ def test_trn_full_network_parity_mstrn():
 
 def test_trn_full_network_parity_relation():
     _trn_parity('TRN', 8)
+
+
+# -------------------------------------------------------------------------
+# DPN: full dual-path networks incl. the channel-split bookkeeping and the
+# test-time avgmax pooling head (reference dpn.py:248-389)
+# -------------------------------------------------------------------------
+
+@pytest.mark.parametrize('name', ['dpn68', 'dpn68b'])
+def test_dpn_full_network_parity(name):
+    from pretorched_tpu.models.dpn import _CONFIGS, DPN
+    cfg = _CONFIGS[name]
+    tm = twins.DPNTwin(num_classes=12, test_time_pool=True, **cfg).eval()
+    twins.randomize_bn(tm)
+    module = DPN(num_classes=12, test_time_pool=True, **cfg)
+    variables = dict(module.init(jax.random.key(0),
+                                 np.zeros((1, 224, 224, 3), np.float32)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert.convert_state_dict(sd, variables)
+    x = np.random.RandomState(0).randn(2, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(module.apply(variables, np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

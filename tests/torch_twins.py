@@ -1125,3 +1125,115 @@ class TRNTwin(tnn.Module):
         feats = feats.view(b, -1, self.num_segments, feats.size(-1))
         rel = self.temporal_relation(feats)
         return self.last_linear(rel.reshape(b, -1))
+
+
+# --------------------------------------------------------------------------
+# DPN (arXiv:1707.01629, Wightman port layout) — dual-path channel split.
+# --------------------------------------------------------------------------
+
+class _DBnActConv(tnn.Module):
+    def __init__(self, cin, cout, k, stride=1, pad=0, groups=1):
+        super().__init__()
+        self.bn = tnn.BatchNorm2d(cin, eps=0.001)
+        self.conv = tnn.Conv2d(cin, cout, k, stride, pad, groups=groups,
+                               bias=False)
+
+    def forward(self, x):
+        return self.conv(F.relu(self.bn(x)))
+
+
+class _DCatBnAct(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.bn = tnn.BatchNorm2d(cin, eps=0.001)
+
+    def forward(self, x):
+        x = torch.cat(x, 1) if isinstance(x, tuple) else x
+        return F.relu(self.bn(x))
+
+
+class _DInput(tnn.Module):
+    def __init__(self, cout, k=7, pad=3):
+        super().__init__()
+        self.conv = tnn.Conv2d(3, cout, k, 2, pad, bias=False)
+        self.bn = tnn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return F.max_pool2d(F.relu(self.bn(self.conv(x))), 3, 2, 1)
+
+
+class _DBlock(tnn.Module):
+    def __init__(self, cin, r, bw, inc, groups, block_type='normal', b=False):
+        super().__init__()
+        self.bw, self.inc, self.b = bw, inc, b
+        stride = 2 if block_type == 'down' else 1
+        self.stride = stride
+        self.has_proj = block_type in ('proj', 'down')
+        if self.has_proj:
+            name = 'c1x1_w_s2' if stride == 2 else 'c1x1_w_s1'
+            setattr(self, name, _DBnActConv(cin, bw + 2 * inc, 1, stride))
+        self.c1x1_a = _DBnActConv(cin, r, 1)
+        self.c3x3_b = _DBnActConv(r, r, 3, stride, 1, groups)
+        if b:
+            self.c1x1_c = _DCatBnAct(r)
+            self.c1x1_c1 = tnn.Conv2d(r, bw, 1, bias=False)
+            self.c1x1_c2 = tnn.Conv2d(r, inc, 1, bias=False)
+        else:
+            self.c1x1_c = _DBnActConv(r, bw + inc, 1)
+
+    def forward(self, x):
+        x_in = torch.cat(x, 1) if isinstance(x, tuple) else x
+        if self.has_proj:
+            proj = (self.c1x1_w_s2 if self.stride == 2 else self.c1x1_w_s1)
+            x_s = proj(x_in)
+            s1, s2 = x_s[:, :self.bw], x_s[:, self.bw:]
+        else:
+            s1, s2 = x
+        out = self.c3x3_b(self.c1x1_a(x_in))
+        if self.b:
+            out = self.c1x1_c(out)
+            o1, o2 = self.c1x1_c1(out), self.c1x1_c2(out)
+        else:
+            out = self.c1x1_c(out)
+            o1, o2 = out[:, :self.bw], out[:, self.bw:]
+        return s1 + o1, torch.cat([s2, o2], 1)
+
+
+class DPNTwin(tnn.Module):
+    def __init__(self, small=False, num_init_features=64, k_r=96, groups=32,
+                 b=False, k_sec=(3, 4, 20, 3), inc_sec=(16, 32, 24, 128),
+                 num_classes=1000, test_time_pool=True):
+        super().__init__()
+        import collections
+        self.test_time_pool = test_time_pool
+        bwf = 1 if small else 4
+        blocks = collections.OrderedDict()
+        blocks['conv1_1'] = (_DInput(num_init_features, 3, 1) if small
+                             else _DInput(num_init_features, 7, 3))
+        cin = num_init_features
+        for stage, base in enumerate((64, 128, 256, 512), start=2):
+            bw = base * bwf
+            inc = inc_sec[stage - 2]
+            r = (k_r * bw) // (64 * bwf)
+            btype = 'proj' if stage == 2 else 'down'
+            blocks[f'conv{stage}_1'] = _DBlock(cin, r, bw, inc, groups,
+                                               btype, b)
+            cin = bw + 3 * inc
+            for i in range(2, k_sec[stage - 2] + 1):
+                blocks[f'conv{stage}_{i}'] = _DBlock(cin, r, bw, inc, groups,
+                                                     'normal', b)
+                cin += inc
+        blocks['conv5_bn_ac'] = _DCatBnAct(cin)
+        self.features = tnn.Sequential(blocks)
+        self.classifier = tnn.Conv2d(cin, num_classes, 1)
+
+    def forward(self, x):
+        x = self.features(x)
+        if not self.training and self.test_time_pool:
+            x = F.avg_pool2d(x, 7, 1)
+            out = self.classifier(x)
+            out = 0.5 * (F.adaptive_avg_pool2d(out, 1)
+                         + F.adaptive_max_pool2d(out, 1))
+        else:
+            out = self.classifier(F.adaptive_avg_pool2d(x, 1))
+        return out.flatten(1)
