@@ -205,3 +205,49 @@ def test_dpn_full_network_parity(name):
         ref = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(module.apply(variables, np.transpose(x, (0, 2, 3, 1))))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+# -------------------------------------------------------------------------
+# SENet: full networks for all three bottleneck variants
+# (reference senet.py:134-366)
+# -------------------------------------------------------------------------
+
+def _senet_parity(kind, layers, groups, **kw):
+    from pretorched_tpu.models.senet import SENet
+    tm = twins.SENetTwin(kind, layers, groups, num_classes=12, **kw).eval()
+    module = SENet(block=kind, layers=layers, groups=groups, num_classes=12,
+                   **kw)
+    _full_parity(tm, module, size=224)
+
+
+def test_senet154_style_full_network_parity():
+    """senet154 config at reduced depth (3-conv stem, grouped 2x-wide
+    bottlenecks, 3x3 downsample convs)."""
+    _senet_parity('se', (1, 1, 1, 1), 64)
+
+
+def test_se_resnext_full_network_parity():
+    _senet_parity('se_resnext', (1, 1, 1, 1), 32, inplanes=64,
+                  input_3x3=False, downsample_kernel_size=1,
+                  downsample_padding=0)
+
+
+def test_se_resnet_full_network_parity():
+    _senet_parity('se_resnet', (1, 1, 1, 1), 1, inplanes=64, input_3x3=False,
+                  downsample_kernel_size=1, downsample_padding=0)
+
+
+@SLOW
+def test_se_resnext50_full_depth_parity():
+    _senet_parity('se_resnext', (3, 4, 6, 3), 32, inplanes=64,
+                  input_3x3=False, downsample_kernel_size=1,
+                  downsample_padding=0)
+
+
+def test_bninception_full_network_parity():
+    """Full 10-block BN-Inception (reference bninception.py:27-511): Caffe
+    biased convs, ceil-mode pools everywhere, reduction blocks without
+    1x1/proj branches, 5b's max branch pool, BGR-era key layout."""
+    from pretorched_tpu.models.bninception import _BLOCKS, BNInception
+    tm = twins.BNInceptionTwin(_BLOCKS, num_classes=12)
+    _full_parity(tm, BNInception(num_classes=12), size=224)

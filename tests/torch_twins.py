@@ -1237,3 +1237,161 @@ class DPNTwin(tnn.Module):
         else:
             out = self.classifier(F.adaptive_avg_pool2d(x, 1))
         return out.flatten(1)
+
+
+# --------------------------------------------------------------------------
+# SENet family (arXiv:1709.01507) — SE gate + 3 bottleneck variants.
+# --------------------------------------------------------------------------
+
+class _SEModule(tnn.Module):
+    def __init__(self, ch, reduction=16):
+        super().__init__()
+        self.fc1 = tnn.Conv2d(ch, ch // reduction, 1)
+        self.fc2 = tnn.Conv2d(ch // reduction, ch, 1)
+
+    def forward(self, x):
+        s = F.adaptive_avg_pool2d(x, 1)
+        s = torch.sigmoid(self.fc2(F.relu(self.fc1(s))))
+        return x * s
+
+
+class _SEBottleneck(tnn.Module):
+    def __init__(self, cin, planes, kind, groups, stride=1, downsample=None,
+                 reduction=16):
+        super().__init__()
+        if kind == 'se':                      # senet154 (senet.py:134-156)
+            w1, w2, g, s1, s2 = planes * 2, planes * 4, groups, 1, stride
+        elif kind == 'se_resnet':             # stride on conv1 (caffe)
+            w1, w2, g, s1, s2 = planes, planes, 1, stride, 1
+        else:                                 # se_resnext
+            w1 = w2 = (planes * 4 // 64) * groups
+            g, s1, s2 = groups, 1, stride
+        self.conv1 = tnn.Conv2d(cin, w1, 1, s1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(w1)
+        self.conv2 = tnn.Conv2d(w1, w2, 3, s2, 1, groups=g, bias=False)
+        self.bn2 = tnn.BatchNorm2d(w2)
+        self.conv3 = tnn.Conv2d(w2, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.se_module = _SEModule(planes * 4, reduction)
+        self.downsample = downsample
+
+    def forward(self, x):
+        res = self.downsample(x) if self.downsample is not None else x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return F.relu(self.se_module(out) + res)
+
+
+class SENetTwin(tnn.Module):
+    def __init__(self, kind, layers, groups, num_classes=1000, inplanes=128,
+                 input_3x3=True, downsample_kernel_size=3,
+                 downsample_padding=1, dropout_p=0.0):
+        super().__init__()
+        import collections
+        self.dropout_p = dropout_p
+        if input_3x3:
+            stem = [('conv1', tnn.Conv2d(3, 64, 3, 2, 1, bias=False)),
+                    ('bn1', tnn.BatchNorm2d(64)), ('relu1', tnn.ReLU()),
+                    ('conv2', tnn.Conv2d(64, 64, 3, 1, 1, bias=False)),
+                    ('bn2', tnn.BatchNorm2d(64)), ('relu2', tnn.ReLU()),
+                    ('conv3', tnn.Conv2d(64, inplanes, 3, 1, 1, bias=False)),
+                    ('bn3', tnn.BatchNorm2d(inplanes)), ('relu3', tnn.ReLU())]
+        else:
+            stem = [('conv1', tnn.Conv2d(3, inplanes, 7, 2, 3, bias=False)),
+                    ('bn1', tnn.BatchNorm2d(inplanes)), ('relu1', tnn.ReLU())]
+        stem.append(('pool', tnn.MaxPool2d(3, 2, ceil_mode=True)))
+        self.layer0 = tnn.Sequential(collections.OrderedDict(stem))
+        cin = inplanes
+        for stage, (planes, blocks, stride) in enumerate(
+                zip((64, 128, 256, 512), layers, (1, 2, 2, 2)), start=1):
+            mods = []
+            for i in range(blocks):
+                s = stride if i == 0 else 1
+                down = None
+                if s != 1 or cin != planes * 4:
+                    k, p = ((1, 0) if stage == 1
+                            else (downsample_kernel_size, downsample_padding))
+                    down = tnn.Sequential(
+                        tnn.Conv2d(cin, planes * 4, k, s, p, bias=False),
+                        tnn.BatchNorm2d(planes * 4))
+                mods.append(_SEBottleneck(cin, planes, kind, groups, s, down))
+                cin = planes * 4
+            setattr(self, f'layer{stage}', tnn.Sequential(*mods))
+        self.last_linear = tnn.Linear(512 * 4, num_classes)
+
+    def forward(self, x):
+        for i in range(5):
+            x = getattr(self, f'layer{i}')(x)
+        x = F.avg_pool2d(x, 7, 1).flatten(1)
+        return self.last_linear(x)
+
+
+# --------------------------------------------------------------------------
+# BN-Inception (arXiv:1502.03167, Caffe port layout: biased convs, ceil-mode
+# pools, flat '<name>_bn' key style).
+# --------------------------------------------------------------------------
+
+class BNInceptionTwin(tnn.Module):
+    """Driven by the same block table as the flax module; a table
+    transcription error would surface as a strict shape mismatch the moment
+    a real checkpoint is converted (zoo.convert strict=True)."""
+
+    def __init__(self, blocks, num_classes=1000):
+        super().__init__()
+        self.blocks = blocks
+
+        def cbr(name, cin, cout, k, stride=1, pad=0):
+            setattr(self, name, tnn.Conv2d(cin, cout, k, stride, pad))
+            setattr(self, f'{name}_bn', tnn.BatchNorm2d(cout, momentum=0.9))
+
+        cbr('conv1_7x7_s2', 3, 64, 7, 2, 3)
+        cbr('conv2_3x3_reduce', 64, 64, 1)
+        cbr('conv2_3x3', 64, 192, 3, 1, 1)
+        cin = 192
+        for cfg in blocks:
+            name, c1, r3, c3, rd, d1, d2, proj, pool, stride = cfg
+            p = f'inception_{name}'
+            if c1:
+                cbr(f'{p}_1x1', cin, c1, 1)
+            cbr(f'{p}_3x3_reduce', cin, r3, 1)
+            cbr(f'{p}_3x3', r3, c3, 3, stride, 1)
+            cbr(f'{p}_double_3x3_reduce', cin, rd, 1)
+            cbr(f'{p}_double_3x3_1', rd, d1, 3, 1, 1)
+            cbr(f'{p}_double_3x3_2', d1, d2, 3, stride, 1)
+            if proj:
+                cbr(f'{p}_pool_proj', cin, proj, 1)
+            cin = c1 + c3 + d2 + (proj if stride == 1 else cin)
+        self.last_linear = tnn.Linear(cin, num_classes)
+
+    def _cbr(self, name, x):
+        x = getattr(self, name)(x)
+        return F.relu(getattr(self, f'{name}_bn')(x))
+
+    def forward(self, x):
+        x = self._cbr('conv1_7x7_s2', x)
+        x = F.max_pool2d(x, 3, 2, ceil_mode=True)
+        x = self._cbr('conv2_3x3_reduce', x)
+        x = self._cbr('conv2_3x3', x)
+        x = F.max_pool2d(x, 3, 2, ceil_mode=True)
+        for cfg in self.blocks:
+            name, c1, r3, c3, rd, d1, d2, proj, pool, stride = cfg
+            p = f'inception_{name}'
+            branches = []
+            if c1:
+                branches.append(self._cbr(f'{p}_1x1', x))
+            b = self._cbr(f'{p}_3x3_reduce', x)
+            branches.append(self._cbr(f'{p}_3x3', b))
+            b = self._cbr(f'{p}_double_3x3_reduce', x)
+            b = self._cbr(f'{p}_double_3x3_1', b)
+            branches.append(self._cbr(f'{p}_double_3x3_2', b))
+            if stride == 2:
+                branches.append(F.max_pool2d(x, 3, 2, ceil_mode=True))
+            else:
+                bp = (F.avg_pool2d(x, 3, 1, 1, ceil_mode=True,
+                                   count_include_pad=True) if pool == 'avg'
+                      else F.max_pool2d(x, 3, 1, 1, ceil_mode=True))
+                branches.append(self._cbr(f'{p}_pool_proj', bp))
+            x = torch.cat(branches, 1)
+        x = F.avg_pool2d(x, 7, 1, ceil_mode=True).flatten(1)
+        return self.last_linear(x)
