@@ -251,3 +251,27 @@ def test_bninception_full_network_parity():
     from pretorched_tpu.models.bninception import _BLOCKS, BNInception
     tm = twins.BNInceptionTwin(_BLOCKS, num_classes=12)
     _full_parity(tm, BNInception(num_classes=12), size=224)
+
+
+def test_inceptionv4_full_network_parity():
+    """Full Inception-v4 (reference inceptionv4.py:263-311): stem mix blocks,
+    4xA + ReductionA + 7xB + ReductionB + 3xC, TF 'features.N' layout."""
+    from pretorched_tpu.models.inceptionv4 import InceptionV4
+    _full_parity(twins.InceptionV4Twin(num_classes=12),
+                 InceptionV4(num_classes=12), size=299)
+
+
+def test_mobilenetv2_full_network_parity():
+    """Full MobileNetV2 (reference mobilenet.py:79-141): all 17 inverted
+    residuals with the slot-indexed Sequential key layout."""
+    from pretorched_tpu.models.mobilenet import MobileNetV2
+    _full_parity(twins.MobileNetV2Twin(num_classes=12),
+                 MobileNetV2(num_classes=12), size=160)
+
+
+def test_vggm_full_network_parity():
+    """Full VGG-M (reference vggm.py:67-102): cross-map LRN, ceil pools,
+    torch-order flatten into the 18432-wide classifier."""
+    from pretorched_tpu.models.vggm import VGGM
+    _full_parity(twins.VGGMTwin(num_classes=12), VGGM(num_classes=12),
+                 size=221, renames={'last_linear': 'classif.6'})

@@ -1395,3 +1395,189 @@ class BNInceptionTwin(tnn.Module):
             x = torch.cat(branches, 1)
         x = F.avg_pool2d(x, 7, 1, ceil_mode=True).flatten(1)
         return self.last_linear(x)
+
+
+# --------------------------------------------------------------------------
+# Inception-v4 (arXiv:1602.07261) — TF-port 'features.N' Sequential layout.
+# --------------------------------------------------------------------------
+
+class _V4MaxBranch(tnn.Module):
+    """Mixed_3a/5a: [maxpool, conv] (conv registered as .conv)."""
+
+    def __init__(self, cin, cout, conv_first=False):
+        super().__init__()
+        self.conv = _IBasic(cin, cout, 3, 2)
+        self.conv_first = conv_first
+
+    def forward(self, x):
+        a, b = self.conv(x), F.max_pool2d(x, 3, 2)
+        return torch.cat([a, b] if self.conv_first else [b, a], 1)
+
+
+class _V4Branches(tnn.Module):
+    """Generic branch-concat block; pool branch = avgpool + conv (.1),
+    reduction blocks append a bare maxpool branch."""
+
+    def __init__(self, branches, avg_pool_proj=None, reduction=False):
+        super().__init__()
+        self.n = len(branches)
+        for i, specs in enumerate(branches):
+            mod = _IBasic(*specs[0]) if len(specs) == 1 else _iseq(specs)
+            setattr(self, f'branch{i}', mod)
+        if avg_pool_proj is not None:
+            setattr(self, f'branch{self.n}', tnn.Sequential(
+                tnn.AvgPool2d(3, 1, 1, count_include_pad=False),
+                _IBasic(*avg_pool_proj)))
+            self.n += 1
+        self.reduction = reduction
+
+    def forward(self, x):
+        outs = [getattr(self, f'branch{i}')(x) for i in range(self.n)]
+        if self.reduction:
+            outs.append(F.max_pool2d(x, 3, 2))
+        return torch.cat(outs, 1)
+
+
+class _V4InceptionC(tnn.Module):
+    def __init__(self, cin=1536):
+        super().__init__()
+        self.branch0 = _IBasic(cin, 256, 1)
+        self.branch1_0 = _IBasic(cin, 384, 1)
+        self.branch1_1a = _IBasic(384, 256, (1, 3), 1, (0, 1))
+        self.branch1_1b = _IBasic(384, 256, (3, 1), 1, (1, 0))
+        self.branch2_0 = _IBasic(cin, 384, 1)
+        self.branch2_1 = _IBasic(384, 448, (3, 1), 1, (1, 0))
+        self.branch2_2 = _IBasic(448, 512, (1, 3), 1, (0, 1))
+        self.branch2_3a = _IBasic(512, 256, (1, 3), 1, (0, 1))
+        self.branch2_3b = _IBasic(512, 256, (3, 1), 1, (1, 0))
+        self.branch3 = tnn.Sequential(
+            tnn.AvgPool2d(3, 1, 1, count_include_pad=False),
+            _IBasic(cin, 256, 1))
+
+    def forward(self, x):
+        b1 = self.branch1_0(x)
+        b2 = self.branch2_2(self.branch2_1(self.branch2_0(x)))
+        return torch.cat([
+            self.branch0(x), self.branch1_1a(b1), self.branch1_1b(b1),
+            self.branch2_3a(b2), self.branch2_3b(b2), self.branch3(x)], 1)
+
+
+class InceptionV4Twin(tnn.Module):
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        feats = [
+            _IBasic(3, 32, 3, 2), _IBasic(32, 32, 3), _IBasic(32, 64, 3, 1, 1),
+            _V4MaxBranch(64, 96),                                 # Mixed_3a
+            _V4Branches([[(160, 64, 1), (64, 96, 3)],
+                         [(160, 64, 1), (64, 64, (1, 7), 1, (0, 3)),
+                          (64, 64, (7, 1), 1, (3, 0)), (64, 96, 3)]]),
+            _V4MaxBranch(192, 192, conv_first=True),              # Mixed_5a
+        ]
+        for _ in range(4):                                        # Inception_A
+            feats.append(_V4Branches(
+                [[(384, 96, 1)],
+                 [(384, 64, 1), (64, 96, 3, 1, 1)],
+                 [(384, 64, 1), (64, 96, 3, 1, 1), (96, 96, 3, 1, 1)]],
+                avg_pool_proj=(384, 96, 1)))
+        feats.append(_V4Branches(                                 # Reduction_A
+            [[(384, 384, 3, 2)],
+             [(384, 192, 1), (192, 224, 3, 1, 1), (224, 256, 3, 2)]],
+            reduction=True))
+        for _ in range(7):                                        # Inception_B
+            feats.append(_V4Branches(
+                [[(1024, 384, 1)],
+                 [(1024, 192, 1), (192, 224, (1, 7), 1, (0, 3)),
+                  (224, 256, (7, 1), 1, (3, 0))],
+                 [(1024, 192, 1), (192, 192, (7, 1), 1, (3, 0)),
+                  (192, 224, (1, 7), 1, (0, 3)), (224, 224, (7, 1), 1, (3, 0)),
+                  (224, 256, (1, 7), 1, (0, 3))]],
+                avg_pool_proj=(1024, 128, 1)))
+        feats.append(_V4Branches(                                 # Reduction_B
+            [[(1024, 192, 1), (192, 192, 3, 2)],
+             [(1024, 256, 1), (256, 256, (1, 7), 1, (0, 3)),
+              (256, 320, (7, 1), 1, (3, 0)), (320, 320, 3, 2)]],
+            reduction=True))
+        for _ in range(3):                                        # Inception_C
+            feats.append(_V4InceptionC())
+        self.features = tnn.Sequential(*feats)
+        self.last_linear = tnn.Linear(1536, num_classes)
+
+    def forward(self, x):
+        x = self.features(x)
+        x = F.avg_pool2d(x, 8, count_include_pad=False).flatten(1)
+        return self.last_linear(x)
+
+
+# --------------------------------------------------------------------------
+# MobileNetV2 (arXiv:1801.04381) and VGG-M (Torch7-port layout).
+# --------------------------------------------------------------------------
+
+def _mb_cbr(cin, cout, k, stride=1, pad=0, groups=1):
+    return tnn.Sequential(
+        tnn.Conv2d(cin, cout, k, stride, pad, groups=groups, bias=False),
+        tnn.BatchNorm2d(cout), tnn.ReLU6())
+
+
+class _MBInvertedResidual(tnn.Module):
+    def __init__(self, cin, cout, stride, expand):
+        super().__init__()
+        hidden = round(cin * expand)
+        self.use_res = stride == 1 and cin == cout
+        mods = []
+        if expand != 1:
+            mods += [tnn.Conv2d(cin, hidden, 1, bias=False),
+                     tnn.BatchNorm2d(hidden), tnn.ReLU6()]
+        mods += [tnn.Conv2d(hidden, hidden, 3, stride, 1, groups=hidden,
+                            bias=False),
+                 tnn.BatchNorm2d(hidden), tnn.ReLU6(),
+                 tnn.Conv2d(hidden, cout, 1, bias=False),
+                 tnn.BatchNorm2d(cout)]
+        self.conv = tnn.Sequential(*mods)
+
+    def forward(self, x):
+        out = self.conv(x)
+        return x + out if self.use_res else out
+
+
+class MobileNetV2Twin(tnn.Module):
+    SETTING = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+               (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        feats = [_mb_cbr(3, 32, 3, 2, 1)]
+        cin = 32
+        for t, c, n, s in self.SETTING:
+            for i in range(n):
+                feats.append(_MBInvertedResidual(cin, c, s if i == 0 else 1, t))
+                cin = c
+        feats.append(_mb_cbr(cin, 1280, 1))
+        self.features = tnn.Sequential(*feats)
+        self.last_linear = tnn.Linear(1280, num_classes)
+
+    def forward(self, x):
+        x = self.features(x)
+        return self.last_linear(x.mean([2, 3]))
+
+
+class VGGMTwin(tnn.Module):
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        lrn = tnn.LocalResponseNorm(5, 0.0005 * 5, 0.75, 2)
+        self.features = tnn.Sequential(
+            tnn.Conv2d(3, 96, 7, 2), tnn.ReLU(), lrn,
+            tnn.MaxPool2d(3, 2, ceil_mode=True),
+            tnn.Conv2d(96, 256, 5, 2, 1), tnn.ReLU(), lrn,
+            tnn.MaxPool2d(3, 2, ceil_mode=True),
+            tnn.Conv2d(256, 512, 3, 1, 1), tnn.ReLU(),
+            tnn.Conv2d(512, 512, 3, 1, 1), tnn.ReLU(),
+            tnn.Conv2d(512, 512, 3, 1, 1), tnn.ReLU(),
+            tnn.MaxPool2d(3, 2, ceil_mode=True))
+        self.classif = tnn.Sequential(
+            tnn.Linear(18432, 4096), tnn.ReLU(), tnn.Dropout(),
+            tnn.Linear(4096, 4096), tnn.ReLU(), tnn.Dropout(),
+            tnn.Linear(4096, num_classes))
+
+    def forward(self, x):
+        x = self.features(x).flatten(1)
+        return self.classif(x)
