@@ -78,7 +78,8 @@ class MVResNet(VideoResNet):
     we match by shape: kernel_size 7)."""
 
     def _conv(self, x, out_ch, kernel, name, stride=1, padding=0, groups=1,
-              train=False):
+              train=False, plain=False):
+        del plain  # multi-view convs are never factored
         ksize = kernel if isinstance(kernel, int) else max(kernel)
         return MultiViewConv(features=out_ch, kernel_size=ksize, stride=stride,
                              padding=padding, bias=False, dtype=self.dtype,

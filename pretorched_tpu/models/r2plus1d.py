@@ -1,8 +1,10 @@
 """R(2+1)D video ResNets (10..200).
 
-Reference: pretorched/models/r2plus1d.py — every conv (stem, blocks,
-downsamples) is the factored spatial+temporal pair with the paper's
-intermediate-channel formula (r2plus1d.py:29-88). Weightless constructors.
+Reference: pretorched/models/r2plus1d.py — the stem, bottleneck and
+downsample convs are factored spatial+temporal pairs with the paper's
+intermediate-channel formula (r2plus1d.py:29-88); basic blocks keep plain
+3x3x3 convs (the reference binds conv3x3x3 there, r2plus1d.py:93-95).
+Weightless constructors.
 
 On TPU the factorization is a clean win: two small MXU-friendly convs with an
 fused BN+ReLU between them instead of one 3D conv with a large k_t*k_h*k_w

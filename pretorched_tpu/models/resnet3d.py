@@ -13,8 +13,11 @@ channels-last (N, T, H, W, C) Flax module covers all five variants:
   128..1024 (resnext3D.py:76-121);
 * WideResNet3D: widths x k, expansion 2 (wideresnet3D.py:71-106);
 * PreAct: BN->ReLU->conv ordering, no post-add ReLU (pre_act_resnet3D.py);
-* R(2+1)D: every conv is a factored spatial(1xkxk)+temporal(kx1x1) pair with
-  the paper's intermediate-channel formula (r2plus1d.py:29-88).
+* R(2+1)D: stem, bottleneck and downsample convs are factored
+  spatial(1xkxk)+temporal(kx1x1) pairs with the paper's intermediate-channel
+  formula (r2plus1d.py:29-88); BASIC blocks keep plain 3x3x3 convs, exactly
+  like the reference (r2plus1d.py:93-95 binds conv3x3x3, not the factored
+  conv).
 
 Head: global average pool over (T, H, W) + ``last_linear`` (renamed from
 torch's ``fc`` as modify_resnets does). 16-frame 112/224px clips; time is just
@@ -93,8 +96,8 @@ class VideoResNet(nn.Module):
 
     # ------------------------------------------------------------------ convs
     def _conv(self, x, out_ch, kernel, name, stride=1, padding=0, groups=1,
-              train=False):
-        if not self.factored:
+              train=False, plain=False):
+        if not self.factored or plain:
             return conv3d(out_ch, kernel, stride=stride, padding=padding,
                           groups=groups, bias=False, name=name,
                           kernel_init=kaiming_normal_out, dtype=self.dtype)(x)
@@ -139,17 +142,18 @@ class VideoResNet(nn.Module):
         if self.preact:
             out = relu(self._bn(x, f'{prefix}.bn1', train))
             out = self._conv(out, planes, 3, f'{prefix}.conv1', stride=stride,
-                             padding=1, train=train)
+                             padding=1, train=train, plain=True)
             out = relu(self._bn(out, f'{prefix}.bn2', train))
             out = self._conv(out, planes, 3, f'{prefix}.conv2', padding=1,
-                             train=train)
+                             train=train, plain=True)
             if down:
                 identity = self._downsample(x, planes, stride, prefix, train)
             return out + identity
         out = self._conv(x, planes, 3, f'{prefix}.conv1', stride=stride,
-                         padding=1, train=train)
+                         padding=1, train=train, plain=True)
         out = relu(self._bn(out, f'{prefix}.bn1', train))
-        out = self._conv(out, planes, 3, f'{prefix}.conv2', padding=1, train=train)
+        out = self._conv(out, planes, 3, f'{prefix}.conv2', padding=1,
+                         train=train, plain=True)
         out = self._bn(out, f'{prefix}.bn2', train)
         if down:
             identity = self._downsample(x, planes, stride, prefix, train)

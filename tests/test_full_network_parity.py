@@ -275,3 +275,121 @@ def test_vggm_full_network_parity():
     from pretorched_tpu.models.vggm import VGGM
     _full_parity(twins.VGGMTwin(num_classes=12), VGGM(num_classes=12),
                  size=221, renames={'last_linear': 'classif.6'})
+
+
+# -------------------------------------------------------------------------
+# Video ResNet3D family: full networks at reduced depth
+# (reference resnet3D.py / resnext3D.py / wideresnet3D.py /
+#  pre_act_resnet3D.py / r2plus1d.py)
+# -------------------------------------------------------------------------
+
+def _video_parity(tm, module, frames=8, size=32, renames=None):
+    tm = tm.eval()
+    twins.randomize_bn(tm)
+    variables = dict(module.init(jax.random.key(0),
+                                 np.zeros((1, frames, size, size, 3),
+                                          np.float32)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    renames = dict(renames or {}, last_linear='fc')
+    variables = convert.convert_state_dict(sd, variables, renames=renames)
+    x = np.random.RandomState(0).randn(2, 3, frames, size, size)
+    x = x.astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(module.apply(variables,
+                                  np.transpose(x, (0, 2, 3, 4, 1))))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_resnet3d_full_network_parity_shortcut_a():
+    """resnet3d10 config with the parameter-free zero-pad shortcut
+    (resnet3D.py:65-74)."""
+    from pretorched_tpu.models.resnet3d import VideoResNet
+    tm = twins.VideoResNet3DTwin('basic', (1, 1, 1, 1), 12, shortcut='A')
+    _video_parity(tm, VideoResNet(block='basic', layers=(1, 1, 1, 1),
+                                  num_classes=12, shortcut_type='A',
+                                  expansion=1))
+
+
+def test_resnet3d_full_network_parity_bottleneck():
+    from pretorched_tpu.models.resnet3d import VideoResNet
+    tm = twins.VideoResNet3DTwin('bottleneck', (1, 1, 1, 1), 12,
+                                 expansion=4)
+    _video_parity(tm, VideoResNet(block='bottleneck', layers=(1, 1, 1, 1),
+                                  num_classes=12, expansion=4))
+
+
+def test_resnext3d_full_network_parity():
+    """cardinality-32 grouped bottlenecks, expansion 2, wide stages
+    (resnext3D.py:76-121)."""
+    from pretorched_tpu.models.resnet3d import VideoResNet
+    tm = twins.VideoResNet3DTwin('bottleneck', (1, 1, 1, 1), 12, expansion=2,
+                                 widths=(128, 256, 512, 1024), cardinality=32)
+    _video_parity(tm, VideoResNet(
+        block='bottleneck', layers=(1, 1, 1, 1), num_classes=12, expansion=2,
+        width_per_stage=(128, 256, 512, 1024), cardinality=32))
+
+
+def test_wideresnet3d_full_network_parity():
+    from pretorched_tpu.models.resnet3d import VideoResNet
+    tm = twins.VideoResNet3DTwin('bottleneck', (1, 1, 1, 1), 12, expansion=2,
+                                 widths=(128, 256, 512, 1024))
+    _video_parity(tm, VideoResNet(
+        block='bottleneck', layers=(1, 1, 1, 1), num_classes=12, expansion=2,
+        width_per_stage=(128, 256, 512, 1024)))
+
+
+@pytest.mark.parametrize('kind,exp', [('basic', 1), ('bottleneck', 4)])
+def test_preact_resnet3d_full_network_parity(kind, exp):
+    """BN->ReLU->conv ordering, no post-add ReLU (pre_act_resnet3D.py)."""
+    from pretorched_tpu.models.resnet3d import VideoResNet
+    tm = twins.VideoResNet3DTwin(kind, (1, 1, 1, 1), 12, expansion=exp,
+                                 preact=True)
+    _video_parity(tm, VideoResNet(block=kind, layers=(1, 1, 1, 1),
+                                  num_classes=12, expansion=exp, preact=True))
+
+
+@pytest.mark.parametrize('kind,exp', [('basic', 1), ('bottleneck', 4)])
+def test_r2plus1d_full_network_parity(kind, exp):
+    """Factored stem/bottleneck/downsample convs; basic blocks stay plain
+    3x3x3 like the reference (r2plus1d.py:93-95)."""
+    from pretorched_tpu.models.resnet3d import VideoResNet
+    tm = twins.VideoResNet3DTwin(kind, (1, 1, 1, 1), 12, expansion=exp,
+                                 factored=True)
+    _video_parity(tm, VideoResNet(block=kind, layers=(1, 1, 1, 1),
+                                  num_classes=12, expansion=exp,
+                                  factored=True))
+
+
+def test_densenet3d_full_network_parity():
+    """Reduced DenseNet3D (reference densenet3D.py:131-214; the norm5 bug is
+    fixed identically on both sides): dotted dense-layer keys, 3D
+    transitions, duration/size-derived head pool."""
+    from pretorched_tpu.models.densenet3d import DenseNet3D
+    # 4 blocks/3 transitions so the size-derived head pool (/32 spatial,
+    # /16 temporal) collapses the features to 1x1x1 like the reference
+    tm = twins.DenseNet3DTwin(growth=16, blocks=(1, 1, 1, 1), init=32,
+                              num_classes=12, sample_size=32,
+                              sample_duration=16)
+    module = DenseNet3D(growth_rate=16, block_config=(1, 1, 1, 1),
+                        num_init_features=32, num_classes=12,
+                        sample_size=32, sample_duration=16)
+    import re
+
+    def dotted(k):   # twin norm1/conv1 -> checkpoint 'norm.1'/'conv.1'
+        return re.sub(r'(denselayer\d+)\.(norm|conv)(\d)\.',
+                      r'\1.\2.\3.', k)
+
+    tm = tm.eval()
+    twins.randomize_bn(tm)
+    variables = dict(module.init(jax.random.key(0),
+                                 np.zeros((1, 16, 32, 32, 3), np.float32)))
+    sd = {dotted(k): v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert.convert_state_dict(
+        sd, variables, renames={'last_linear': 'classifier'})
+    x = np.random.RandomState(0).randn(2, 3, 16, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(module.apply(variables,
+                                  np.transpose(x, (0, 2, 3, 4, 1))))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

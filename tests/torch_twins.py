@@ -1581,3 +1581,191 @@ class VGGMTwin(tnn.Module):
     def forward(self, x):
         x = self.features(x).flatten(1)
         return self.classif(x)
+
+
+# --------------------------------------------------------------------------
+# Video ResNet3D family (Kinetics recipe): basic/bottleneck, shortcut A
+# (zero-pad) / B, ResNeXt3D cardinality, WideResNet3D, PreAct, R(2+1)D.
+# --------------------------------------------------------------------------
+
+class _VSTConv(tnn.Module):
+    """Factored spatio-temporal conv with the paper's mid-channel formula."""
+
+    def __init__(self, cin, cout, k, stride=1, pad=0, bias=False):
+        super().__init__()
+        import math as _m
+        k3 = (k,) * 3 if isinstance(k, int) else k
+        s3 = (stride,) * 3 if isinstance(stride, int) else stride
+        p3 = (pad,) * 3 if isinstance(pad, int) else pad
+        mid = int(_m.floor(k3[0] * k3[1] * k3[2] * cin * cout
+                           / (k3[1] * k3[2] * cin + k3[0] * cout)))
+        self.spatial_conv = tnn.Conv3d(cin, mid, (1, k3[1], k3[2]),
+                                       (1, s3[1], s3[2]), (0, p3[1], p3[2]),
+                                       bias=bias)
+        self.bn = tnn.BatchNorm3d(mid)
+        self.temporal_conv = tnn.Conv3d(mid, cout, (k3[0], 1, 1),
+                                        (s3[0], 1, 1), (p3[0], 0, 0),
+                                        bias=bias)
+
+    def forward(self, x):
+        return self.temporal_conv(F.relu(self.bn(self.spatial_conv(x))))
+
+
+def _vconv(factored, cin, cout, k, stride=1, pad=0):
+    if factored:
+        return _VSTConv(cin, cout, k, stride, pad, bias=False)
+    return tnn.Conv3d(cin, cout, k, stride, pad, bias=False)
+
+
+def _vshortcut_a(x, planes, stride):
+    out = F.avg_pool3d(x, 1, stride)
+    pad = planes - out.size(1)
+    if pad > 0:
+        z = torch.zeros(out.size(0), pad, *out.shape[2:])
+        out = torch.cat([out, z], 1)
+    return out
+
+
+class _V3DBlock(tnn.Module):
+    def __init__(self, cin, planes, kind, stride=1, downsample=None,
+                 expansion=4, cardinality=0, preact=False, factored=False):
+        super().__init__()
+        self.kind, self.preact = kind, preact
+        self.downsample = downsample
+        if kind == 'basic':
+            # reference R(2+1)D basic blocks stay plain (conv3x3x3)
+            cs = [(cin, planes, 3, stride, 1), (planes, planes, 3, 1, 1)]
+            fac = [False, False]
+        else:
+            mid = cardinality * (planes // 32) if cardinality else planes
+            g = cardinality or 1
+            self.groups = g
+            cs = [(cin, mid, 1, 1, 0), (mid, mid, 3, stride, 1),
+                  (mid, planes * expansion, 1, 1, 0)]
+            fac = [factored] * 3
+        bn_on_input = preact
+        for i, ((a, b, k, s, p), f) in enumerate(zip(cs, fac), start=1):
+            if kind != 'basic' and i == 2 and not f:
+                conv = tnn.Conv3d(a, b, k, s, p, groups=self.groups,
+                                  bias=False)
+            else:
+                conv = _vconv(f, a, b, k, s, p)
+            setattr(self, f'conv{i}', conv)
+            setattr(self, f'bn{i}', tnn.BatchNorm3d(a if bn_on_input else b))
+
+    def forward(self, x):
+        res = self.downsample(x) if self.downsample is not None else x
+        n = 2 if self.kind == 'basic' else 3
+        out = x
+        if self.preact:
+            for i in range(1, n + 1):
+                out = getattr(self, f'conv{i}')(
+                    F.relu(getattr(self, f'bn{i}')(out)))
+            return out + res
+        for i in range(1, n):
+            out = F.relu(getattr(self, f'bn{i}')(getattr(self, f'conv{i}')(out)))
+        out = getattr(self, f'bn{n}')(getattr(self, f'conv{n}')(out))
+        return F.relu(out + res)
+
+
+class VideoResNet3DTwin(tnn.Module):
+    def __init__(self, kind='basic', layers=(1, 1, 1, 1), num_classes=400,
+                 shortcut='B', expansion=1,
+                 widths=(64, 128, 256, 512), cardinality=0, preact=False,
+                 factored=False):
+        super().__init__()
+        import functools
+        self.conv1 = _vconv(factored, 3, 64, 7, (1, 2, 2), 3)
+        self.bn1 = tnn.BatchNorm3d(64)
+        cin = 64
+        for stage, (planes, blocks, stride) in enumerate(
+                zip(widths, layers, (1, 2, 2, 2)), start=1):
+            mods = []
+            for i in range(blocks):
+                s = stride if i == 0 else 1
+                down = None
+                if s != 1 or cin != planes * expansion:
+                    if shortcut == 'A':
+                        down = functools.partial(
+                            _vshortcut_a, planes=planes * expansion, stride=s)
+                    else:
+                        down = tnn.Sequential(
+                            _vconv(factored, cin, planes * expansion, 1, s),
+                            tnn.BatchNorm3d(planes * expansion))
+                mods.append(_V3DBlock(cin, planes, kind, s, down, expansion,
+                                      cardinality, preact, factored))
+                cin = planes * expansion
+            setattr(self, f'layer{stage}', tnn.Sequential(*mods))
+        self.fc = tnn.Linear(cin, num_classes)
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = F.max_pool3d(x, 3, 2, 1)
+        for i in range(1, 5):
+            x = getattr(self, f'layer{i}')(x)
+        x = F.adaptive_avg_pool3d(x, 1).flatten(1)
+        return self.fc(x)
+
+
+# --------------------------------------------------------------------------
+# DenseNet3D — dotted 'norm.1' dense-layer keys; the reference's norm5 bug
+# (BatchNorm2d on a 5-D tensor) is fixed to a working 3D norm on both sides.
+# --------------------------------------------------------------------------
+
+class _D3Layer(tnn.Module):
+    """torch forbids dots in module names nowadays; the twin uses norm1/
+    conv1 and the test rewrites keys to the checkpoints' dotted style."""
+
+    def __init__(self, cin, growth, bn_size):
+        super().__init__()
+        self.norm1 = tnn.BatchNorm3d(cin)
+        self.conv1 = tnn.Conv3d(cin, bn_size * growth, 1, bias=False)
+        self.norm2 = tnn.BatchNorm3d(bn_size * growth)
+        self.conv2 = tnn.Conv3d(bn_size * growth, growth, 3, 1, 1, bias=False)
+
+    def forward(self, x):
+        out = self.conv1(F.relu(self.norm1(x)))
+        out = self.conv2(F.relu(self.norm2(out)))
+        return torch.cat([x, out], 1)
+
+
+class DenseNet3DTwin(tnn.Module):
+    def __init__(self, growth=32, blocks=(6, 12, 24, 16), init=64,
+                 num_classes=12, sample_size=32, sample_duration=8):
+        super().__init__()
+        import collections, math as _m
+        self.last_t = int(_m.ceil(sample_duration / 16))
+        self.last_s = int(_m.floor(sample_size / 32))
+        feats = collections.OrderedDict()
+        feats['conv0'] = tnn.Conv3d(3, init, 7, (1, 2, 2), 3, bias=False)
+        feats['norm0'] = tnn.BatchNorm3d(init)
+        ch = init
+        for bi, n in enumerate(blocks, start=1):
+            blk = tnn.Sequential(collections.OrderedDict(
+                (f'denselayer{i+1}', _D3Layer(ch + i * growth, growth, 4))
+                for i in range(n)))
+            feats[f'denseblock{bi}'] = blk
+            ch += n * growth
+            if bi != len(blocks):
+                feats[f'transition{bi}'] = tnn.Sequential(collections.OrderedDict([
+                    ('norm', tnn.BatchNorm3d(ch)),
+                    ('conv', tnn.Conv3d(ch, ch // 2, 1, bias=False))]))
+                ch //= 2
+        feats['norm5'] = tnn.BatchNorm3d(ch)
+        self.features = tnn.Sequential(feats)
+        self.classifier = tnn.Linear(ch, num_classes)
+
+    def forward(self, x):
+        f = self.features
+        x = F.max_pool3d(F.relu(f.norm0(f.conv0(x))), 3, 2, 1)
+        names = [n for n in f._modules if n.startswith(('denseblock',
+                                                        'transition'))]
+        for n in names:
+            mod = f._modules[n]
+            if n.startswith('denseblock'):
+                x = mod(x)
+            else:
+                x = F.avg_pool3d(mod.conv(F.relu(mod.norm(x))), 2, 2)
+        x = F.relu(f.norm5(x))
+        x = F.avg_pool3d(x, (self.last_t, self.last_s, self.last_s)).flatten(1)
+        return self.classifier(x)
