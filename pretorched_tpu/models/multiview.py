@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..core.registry import register_model
-from .layers import torch_conv_init
+from .layers import dense, torch_conv_init
 from .resnet3d import VideoResNet
 
 
@@ -59,15 +59,13 @@ class MultiViewConv(nn.Module):
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype), w, window_strides=s, padding=list(pad),
                 dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+            if bias is not None:
+                # the reference hands self.bias to EACH F.conv3d
+                # (multiview.py:52-57), so the bias rides through the mixer
+                y = y + bias.astype(dtype)
             outs.append(y)
         stacked = jnp.stack(outs, axis=-1)                      # (..., O, 3)
-        mix_k = self.param('linear.kernel', torch_conv_init, (3, 1), jnp.float32)
-        mix_b = self.param('linear.bias', nn.initializers.zeros, (1,), jnp.float32)
-        out = jnp.einsum('...vj,jo->...vo', stacked.astype(dtype),
-                         mix_k.astype(dtype))[..., 0] + mix_b[0]
-        if bias is not None:
-            out = out + bias.astype(dtype)
-        return out
+        return dense(1, name='linear', dtype=self.dtype)(stacked)[..., 0]
 
 
 class MVResNet(VideoResNet):

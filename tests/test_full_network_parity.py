@@ -361,6 +361,38 @@ def test_r2plus1d_full_network_parity(kind, exp):
                                   factored=True))
 
 
+def test_multiview_conv_op_parity():
+    """MultiViewConv op vs the reference formula (multiview.py:13-59),
+    bias=True: the bias feeds each of the three view convs BEFORE the
+    Linear(3,1) mixer, so it is scaled by sum(linear.weight)."""
+    from pretorched_tpu.models.multiview import MultiViewConv
+    tm = twins.MultiViewConvTwin(4, 6, 3, stride=(1, 2, 2), padding=1,
+                                 bias=True).eval()
+    mod = MultiViewConv(features=6, kernel_size=3, stride=(1, 2, 2),
+                        padding=1, bias=True)
+    variables = dict(mod.init(jax.random.key(0),
+                              np.zeros((1, 4, 8, 8, 4), np.float32)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert.convert_state_dict(sd, variables)
+    x = np.random.RandomState(0).randn(2, 4, 6, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(mod.apply(variables, np.transpose(x, (0, 2, 3, 4, 1))))
+    np.testing.assert_allclose(np.transpose(got, (0, 4, 1, 2, 3)), ref,
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize('kind,exp', [('basic', 1), ('bottleneck', 4)])
+def test_mvresnet_full_network_parity(kind, exp):
+    """MVResNet: every conv (stem, blocks, downsamples) is a MultiViewConv
+    (multiview.py:73-93)."""
+    from pretorched_tpu.models.multiview import MVResNet
+    tm = twins.VideoResNet3DTwin(kind, (1, 1, 1, 1), 12, expansion=exp,
+                                 factored='mv')
+    _video_parity(tm, MVResNet(block=kind, layers=(1, 1, 1, 1),
+                               num_classes=12, expansion=exp))
+
+
 def test_densenet3d_full_network_parity():
     """Reduced DenseNet3D (reference densenet3D.py:131-214; the norm5 bug is
     fixed identically on both sides): dotted dense-layer keys, 3D

@@ -1611,7 +1611,37 @@ class _VSTConv(tnn.Module):
         return self.temporal_conv(F.relu(self.bn(self.spatial_conv(x))))
 
 
+class MultiViewConvTwin(tnn.Module):
+    """Reference MultiViewConv semantics (multiview.py:13-59): one flat
+    (O, I, k, k) weight reinterpreted as three axis-aligned 3D kernels,
+    the SAME bias handed to each of the three F.conv3d calls, views mixed
+    by a learned Linear(3, 1). State-dict keys match the reference
+    (weight / bias / linear.weight / linear.bias)."""
+
+    def __init__(self, cin, cout, k, stride=1, padding=0, bias=True):
+        super().__init__()
+        t3 = lambda v: (v,) * 3 if isinstance(v, int) else tuple(v)  # noqa: E731
+        kk, p = t3(k), t3(padding)
+        self.stride = t3(stride)
+        self.weight = tnn.Parameter(torch.randn(cout, cin, kk[1], kk[2]) * 0.05)
+        self.bias = tnn.Parameter(torch.randn(cout) * 0.05) if bias else None
+        self.views = [((1, kk[1], kk[2]), (0, p[1], p[2])),
+                      ((kk[0], 1, kk[2]), (p[0], 0, p[2])),
+                      ((kk[0], kk[1], 1), (p[0], p[1], 0))]
+        self.channel_shape = (cout, cin)
+        self.linear = tnn.Linear(3, 1)
+
+    def forward(self, x):
+        stacked = torch.stack(
+            [F.conv3d(x, self.weight.view(*self.channel_shape, *ks),
+                      self.bias, self.stride, pad)
+             for ks, pad in self.views], -1)
+        return self.linear(stacked)[..., 0]
+
+
 def _vconv(factored, cin, cout, k, stride=1, pad=0):
+    if factored == 'mv':
+        return MultiViewConvTwin(cin, cout, k, stride, pad, bias=False)
     if factored:
         return _VSTConv(cin, cout, k, stride, pad, bias=False)
     return tnn.Conv3d(cin, cout, k, stride, pad, bias=False)
@@ -1633,9 +1663,10 @@ class _V3DBlock(tnn.Module):
         self.kind, self.preact = kind, preact
         self.downsample = downsample
         if kind == 'basic':
-            # reference R(2+1)D basic blocks stay plain (conv3x3x3)
+            # reference R(2+1)D basic blocks stay plain (conv3x3x3) — but
+            # MVResNet's BasicBlock binds MultiViewConv (multiview.py:73-74)
             cs = [(cin, planes, 3, stride, 1), (planes, planes, 3, 1, 1)]
-            fac = [False, False]
+            fac = [factored] * 2 if factored == 'mv' else [False, False]
         else:
             mid = cardinality * (planes // 32) if cardinality else planes
             g = cardinality or 1
