@@ -260,6 +260,53 @@ def main():
                        f'N={n} C={c} f32 ms/iter'),
             'value': round(dt * 1000, 2), 'unit': 'ms'})
 
+    # --------------------------------- 7. resnet3d50 training step (SGD)
+    if want('train'):
+        import optax
+
+        from pretorched_tpu.parallel import make_train_step
+        model = pretorched.resnet3d50(num_classes=400, pretrained=None)
+        module = dataclasses.replace(model.module, dtype=jnp.bfloat16,
+                                     s2d_stem=True)
+        variables = model.variables
+        tx = optax.sgd(0.1, momentum=0.9)
+        step = make_train_step(module, tx)
+        iters = max(ITERS // 2, 5)
+        # v5e sweep (ROUND_NOTES r2): b64 177, b128 226.8 clips/s, b192 OOM;
+        # the halve-batch fallback below covers OOM if other rows hold HBM.
+        batch = int(os.environ.get('BENCH_TRAIN_BATCH', min(BATCH, 128)))
+        while True:
+            # fresh device copies each attempt: the step donates its buffers
+            p = jax.tree_util.tree_map(jnp.copy, variables['params'])
+            bs = jax.tree_util.tree_map(jnp.copy, variables['batch_stats'])
+            os_ = tx.init(p)
+            clip = jnp.asarray(rng.rand(batch, FRAMES, SIZE, SIZE, 3),
+                               jnp.float32)
+            labels = jnp.asarray(np.arange(batch) % 400)
+            try:
+                t0 = time.perf_counter()
+                p, bs, os_, m = step(p, bs, os_, clip, labels, 0)
+                jax.device_get(m['loss'])
+                print(f'# train b{batch} compile+first: '
+                      f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
+                t0 = time.perf_counter()
+                for i in range(1, iters + 1):
+                    p, bs, os_, m = step(p, bs, os_, clip, labels, i)
+                loss = float(jax.device_get(m['loss']))   # chains all steps
+                dt = (time.perf_counter() - t0) / iters
+                break
+            except Exception as e:  # noqa: BLE001 — OOM insurance
+                if batch <= 2:
+                    raise
+                print(f'# train b{batch} failed ({type(e).__name__}); '
+                      f'retrying b{batch // 2}', file=sys.stderr)
+                batch //= 2
+        assert np.isfinite(loss), loss
+        rows.append({
+            'metric': (f'resnet3d50 {FRAMES}f{SIZE}px bf16-compute SGD train '
+                       f'step clips/sec/chip (donated buffers)'),
+            'value': round(batch / dt, 2), 'unit': 'clips/s', 'batch': batch})
+
     if headline is None:
         headline = dict(rows[0]) if rows else {
             'metric': 'no rows selected', 'value': 0, 'unit': '', }

@@ -49,10 +49,14 @@ def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
         top1 = jnp.mean(jnp.argmax(logits, axis=1) == labels)
         return params, new_stats, opt_state, {'loss': loss, 'top1': top1}
 
+    # params/batch_stats/opt_state are returned updated every step, so their
+    # input buffers are donated: the optimizer update runs in place instead of
+    # double-buffering ~3x the param bytes in HBM.
     if mesh is None:
-        return jax.jit(step)
+        return jax.jit(step, donate_argnums=(0, 1, 2))
     bsh = batch_sharding(mesh)
-    return jax.jit(step, in_shardings=(None, None, None, bsh, bsh, None))
+    return jax.jit(step, in_shardings=(None, None, None, bsh, bsh, None),
+                   donate_argnums=(0, 1, 2))
 
 
 def finetune_mask(params, trainable_prefixes):

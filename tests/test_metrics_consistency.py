@@ -33,3 +33,34 @@ def test_html_report():
     assert '<img src="a.jpg"/>' in page
     assert HTML.element('div', 'x', id_='i', cls_='c') == \
         '<div id="i" class="c">x</div>'
+
+
+def test_average_precision_meter_matches_sklearn():
+    """AP meter (reference datasets/utils.py:86-199) vs sklearn on tie-free
+    scores; VOC's -1/0/1 difficult-example convention handled."""
+    sk = __import__('pytest').importorskip('sklearn.metrics')
+    from pretorched_tpu.datasets.utils import AveragePrecisionMeter
+
+    rng = np.random.RandomState(0)
+    scores = rng.randn(64, 3).astype(np.float32)
+    targets = rng.choice([1, -1], size=(64, 3))
+
+    meter = AveragePrecisionMeter(difficult_examples=False)
+    meter.add(scores[:40], targets[:40])      # streamed in two batches
+    meter.add(scores[40:], targets[40:])
+    got = meter.value()
+    want = [sk.average_precision_score(targets[:, c] == 1, scores[:, c])
+            for c in range(3)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # difficult (0) rows are skipped entirely when difficult_examples=True
+    targets_d = targets.copy()
+    targets_d[::5] = 0
+    meter = AveragePrecisionMeter(difficult_examples=True)
+    meter.add(scores, targets_d)
+    got = meter.value()
+    keep = targets_d != 0
+    want = [sk.average_precision_score(targets_d[keep[:, c], c] == 1,
+                                       scores[keep[:, c], c])
+            for c in range(3)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
