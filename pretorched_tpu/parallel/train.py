@@ -25,18 +25,28 @@ def cross_entropy(logits, labels):
 
 def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
                     has_batch_stats: bool = True,
-                    dropout_seed: int = 0) -> Callable:
+                    dropout_seed: int = 0, remat: bool = False) -> Callable:
     """Returns step(params, batch_stats, opt_state, x, labels, step_idx) ->
-    (params, batch_stats, opt_state, metrics)."""
+    (params, batch_stats, opt_state, metrics).
+
+    ``remat=True`` rematerializes the forward during backprop
+    (``jax.checkpoint``): ~4/3x the FLOPs but O(1) activation storage, for
+    long clips / large batches that otherwise OOM."""
 
     def loss_fn(params, batch_stats, x, labels, rng):
-        variables = {'params': params}
-        if has_batch_stats and batch_stats is not None:
-            variables['batch_stats'] = batch_stats
         mutable = ['batch_stats'] if has_batch_stats else []
-        out = module.apply(variables, x, train=True, mutable=mutable,
-                           rngs={'dropout': rng})
-        logits, new_vars = out if mutable else (out, {})
+
+        def fwd(params, x):
+            variables = {'params': params}
+            if has_batch_stats and batch_stats is not None:
+                variables['batch_stats'] = batch_stats
+            out = module.apply(variables, x, train=True, mutable=mutable,
+                               rngs={'dropout': rng})
+            return out if mutable else (out, {})
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+        logits, new_vars = fwd(params, x)
         loss = cross_entropy(logits, labels)
         return loss, (logits, new_vars.get('batch_stats'))
 

@@ -154,6 +154,33 @@ def test_mesh_train_step_dp_tp():
     assert 'model' in str(sh.spec)
 
 
+def test_train_step_remat_matches_plain():
+    """jax.checkpoint rematerialization is a memory/compute trade, not a
+    numerics change: two steps of remat=True match remat=False exactly."""
+    import optax
+
+    from pretorched_tpu.parallel import make_train_step
+
+    model = p.resnet18(num_classes=6, pretrained=None)
+    tx = optax.sgd(0.1, momentum=0.9)
+    x = jnp.asarray(np.random.RandomState(1).randn(4, 32, 32, 3), jnp.float32)
+    labels = jnp.asarray(np.arange(4) % 6)
+
+    losses = {}
+    for remat in (False, True):
+        step = make_train_step(model.module, tx, remat=remat)
+        pr = jax.tree_util.tree_map(jnp.copy, model.variables['params'])
+        bs = jax.tree_util.tree_map(jnp.copy,
+                                    model.variables.get('batch_stats'))
+        opt_state = tx.init(pr)
+        out = []
+        for i in range(2):
+            pr, bs, opt_state, m = step(pr, bs, opt_state, x, labels, i)
+            out.append(float(m['loss']))
+        losses[remat] = out
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
+
+
 @pytest.mark.skipif(not os.environ.get('PRETORCHED_TEST_SLOW'),
                     reason='slow: big-model param-count checks')
 def test_published_param_counts():
