@@ -46,6 +46,10 @@ def parse_args():
     p.add_argument('--no-preserve-aspect-ratio', action='store_true',
                    help='square resize before crop (polynet eval, README.md:276)')
     p.add_argument('--cpu', action='store_true')
+    p.add_argument('--remat', action='store_true',
+                   help='rematerialize per residual block during backprop '
+                        '(~4/3x FLOPs for much less activation HBM; lets '
+                        'long clips / large batches train)')
     return p.parse_args()
 
 
@@ -156,7 +160,8 @@ def main():
     steps_per_epoch = max(len(train_set) // args.batch_size, 1)
     tx = sgd_step_decay(args.lr, args.momentum, args.weight_decay,
                         decay_epochs=30, steps_per_epoch=steps_per_epoch)
-    train_step = make_train_step(model.module, tx, mesh=mesh)
+    train_step = make_train_step(model.module, tx, mesh=mesh,
+                                 remat=args.remat)
     params = model.variables['params']
     batch_stats = model.variables.get('batch_stats')
     opt_state = tx.init(params)

@@ -179,7 +179,7 @@ class NonLocalResNet3D(VideoResNet):
     @nn.compact
     def __call__(self, x, mode: str = 'forward', head: bool = True,
                  train: bool = False):
-        block_fn = self._basic if self.block == 'basic' else self._bottleneck
+        block_fn = self._block_fn()
         if mode in ('forward', 'features'):
             x = self._conv(x, 64, 7, 'conv1', stride=(1, 2, 2), padding=3,
                            train=train)

@@ -92,6 +92,7 @@ class VideoResNet(nn.Module):
     preact: bool = False
     factored: bool = False        # R(2+1)D spatio-temporal conv factorization
     s2d_stem: bool = False        # fold the stride-(1,2,2) stem via space-to-depth
+    remat: bool = False           # checkpoint each residual block (long-clip training)
     dtype: Any = None
 
     # ------------------------------------------------------------------ convs
@@ -190,11 +191,24 @@ class VideoResNet(nn.Module):
             identity = self._downsample(x, out_ch, stride, prefix, train)
         return relu(out + identity)
 
+    def _block_fn(self):
+        """The residual-block function, optionally rematerialized per block:
+        backprop then stores only block INPUTS and recomputes each block's
+        interior (~4/3x FLOPs for ~a block's depth less activation HBM) —
+        this is what lets long clips / big batches train. Checkpointing the
+        WHOLE forward instead saves nothing: the rematted backward still
+        materializes every intermediate at once."""
+        raw = (type(self)._basic if self.block == 'basic'
+               else type(self)._bottleneck)
+        if self.remat:
+            raw = nn.remat(raw, static_argnums=(2, 3, 4, 5, 6))
+        return raw.__get__(self)
+
     # ---------------------------------------------------------------- forward
     @nn.compact
     def __call__(self, x, mode: str = 'forward', head: bool = True,
                  train: bool = False):
-        block_fn = self._basic if self.block == 'basic' else self._bottleneck
+        block_fn = self._block_fn()
         if mode in ('forward', 'features'):
             if self.s2d_stem and not self.factored:
                 from .layers import SpaceToDepthConv

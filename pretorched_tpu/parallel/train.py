@@ -29,9 +29,17 @@ def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
     """Returns step(params, batch_stats, opt_state, x, labels, step_idx) ->
     (params, batch_stats, opt_state, metrics).
 
-    ``remat=True`` rematerializes the forward during backprop
-    (``jax.checkpoint``): ~4/3x the FLOPs but O(1) activation storage, for
-    long clips / large batches that otherwise OOM."""
+    ``remat=True`` rematerializes per residual block when the module supports
+    it (a ``remat`` field, e.g. VideoResNet): backprop stores only block
+    inputs, ~4/3x FLOPs, so long clips / large batches fit. For modules
+    without the field it falls back to checkpointing the whole forward, which
+    bounds the *forward's* storage only — measured on v5e, that saves nearly
+    nothing (the rematted backward still materializes every intermediate), so
+    prefer block-level support."""
+    import dataclasses
+    if remat and any(f.name == 'remat' for f in dataclasses.fields(module)):
+        module = dataclasses.replace(module, remat=True)
+        remat = False
 
     def loss_fn(params, batch_stats, x, labels, rng):
         mutable = ['batch_stats'] if has_batch_stats else []

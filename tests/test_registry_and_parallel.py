@@ -154,31 +154,54 @@ def test_mesh_train_step_dp_tp():
     assert 'model' in str(sh.spec)
 
 
-def test_train_step_remat_matches_plain():
-    """jax.checkpoint rematerialization is a memory/compute trade, not a
-    numerics change: two steps of remat=True match remat=False exactly."""
+def _train_losses(module, variables, x, labels, remat):
     import optax
 
     from pretorched_tpu.parallel import make_train_step
 
-    model = p.resnet18(num_classes=6, pretrained=None)
     tx = optax.sgd(0.1, momentum=0.9)
+    step = make_train_step(module, tx, remat=remat)
+    pr = jax.tree_util.tree_map(jnp.copy, variables['params'])
+    bs = jax.tree_util.tree_map(jnp.copy, variables.get('batch_stats'))
+    opt_state = tx.init(pr)
+    out = []
+    for i in range(2):
+        pr, bs, opt_state, m = step(pr, bs, opt_state, x, labels, i)
+        out.append(float(m['loss']))
+    return out
+
+
+def test_train_step_remat_matches_plain():
+    """Whole-forward jax.checkpoint fallback (modules without a remat field)
+    is a compute trade, not a numerics change."""
+    model = p.resnet18(num_classes=6, pretrained=None)
     x = jnp.asarray(np.random.RandomState(1).randn(4, 32, 32, 3), jnp.float32)
     labels = jnp.asarray(np.arange(4) % 6)
+    a = _train_losses(model.module, model.variables, x, labels, False)
+    b = _train_losses(model.module, model.variables, x, labels, True)
+    np.testing.assert_allclose(b, a, rtol=1e-6)
 
-    losses = {}
-    for remat in (False, True):
-        step = make_train_step(model.module, tx, remat=remat)
-        pr = jax.tree_util.tree_map(jnp.copy, model.variables['params'])
-        bs = jax.tree_util.tree_map(jnp.copy,
-                                    model.variables.get('batch_stats'))
-        opt_state = tx.init(pr)
-        out = []
-        for i in range(2):
-            pr, bs, opt_state, m = step(pr, bs, opt_state, x, labels, i)
-            out.append(float(m['loss']))
-        losses[remat] = out
-    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
+
+def test_train_step_block_remat_matches_plain():
+    """VideoResNet's per-block nn.remat (the long-clip training path): same
+    param tree, identical losses, BN running stats still update."""
+    from pretorched_tpu.models.resnet3d import VideoResNet
+
+    module = VideoResNet(block='bottleneck', layers=(1, 1, 1, 1),
+                         num_classes=6)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 8, 32, 32, 3),
+                    jnp.float32)
+    variables = dict(module.init(jax.random.key(0), x))
+    labels = jnp.asarray(np.arange(2) % 6)
+    a = _train_losses(module, variables, x, labels, False)
+    b = _train_losses(module, variables, x, labels, True)
+    np.testing.assert_allclose(b, a, rtol=1e-6)
+    # remat=True builds the identical parameter tree
+    import dataclasses
+    mr = dataclasses.replace(module, remat=True)
+    vr = dict(mr.init(jax.random.key(0), x))
+    assert (jax.tree_util.tree_structure(vr)
+            == jax.tree_util.tree_structure(variables))
 
 
 @pytest.mark.skipif(not os.environ.get('PRETORCHED_TEST_SLOW'),
