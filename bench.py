@@ -11,6 +11,7 @@ Rows (VERDICT r1 #4):
   4. 10-clip consensus eval step (multi_clip_eval_step math)
   5. fused uint8 decode->preprocess->forward device pipeline
   6. nonlocal attention kernel fwd+bwd, N=8192 (blockwise backward)
+  7. SGD training step (fwd+bwd+update, donated buffers, bf16 compute)
 
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
 is measured against VS_BASELINE_CLIPS_PER_SEC — a documented estimate of the
@@ -19,8 +20,11 @@ mode): ~100 clips/s for this model/clip size. North-star >= 10x.
 
 Measurement notes (this sandbox): the axon TPU tunnel has a ~15min cold
 device->host path and an unreliable block_until_ready, so every timed loop
-runs *inside* one jit via lax.scan (sequential by carry dependency) and
-completion is forced with jax.device_get of a scalar checksum.
+(rows 1-6) runs *inside* one jit via lax.scan (sequential by carry
+dependency) and completion is forced with jax.device_get of a scalar
+checksum. Row 7 instead chains donated jitted steps from Python — a scan
+would discard buffer donation and OOM at b128 (see the row comment) — with
+completion forced the same way through the steps' data dependencies.
 """
 
 import dataclasses
@@ -275,6 +279,15 @@ def main():
         # v5e sweep (ROUND_NOTES r2): b64 177, b128 226.8 clips/s, b192 OOM;
         # the halve-batch fallback below covers OOM if other rows hold HBM.
         batch = int(os.environ.get('BENCH_TRAIN_BATCH', min(BATCH, 128)))
+
+        # Unlike rows 1-6 this row deliberately times a Python loop of jitted
+        # steps rather than one lax.scan: wrapping the step in a scan discards
+        # buffer donation (inner-jit donation is ignored under tracing), and
+        # the lost aliasing pushes b128 out of HBM — measured on v5e: scan
+        # form b128 OOM / b64 177.6 clips/s vs donated loop b128 226.8.
+        # Completion is still forced through the tunnel: each step consumes
+        # the previous step's outputs, so device_get of the last loss chains
+        # the whole sequence.
         while True:
             # fresh device copies each attempt: the step donates its buffers
             p = jax.tree_util.tree_map(jnp.copy, variables['params'])

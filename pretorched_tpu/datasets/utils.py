@@ -73,8 +73,9 @@ def download_url(url: str, destination: Optional[str] = None,
 
 class AveragePrecisionMeter:
     """Per-class average precision over streamed (scores, targets) batches
-    (reference: datasets/utils.py:86-199). Targets are 0/1 (optionally -1 =
-    difficult, skipped when ``difficult_examples``)."""
+    (reference: datasets/utils.py:86-199). VOC target convention:
+    1 = positive, -1 = negative, 0 = difficult; difficult rows are skipped
+    when ``difficult_examples`` is True (else counted as negatives)."""
 
     def __init__(self, difficult_examples: bool = False):
         self.difficult_examples = difficult_examples

@@ -62,6 +62,7 @@ class ResNet(nn.Module):
     logits_pool: str = 'global'     # 'avg7' = fixed AvgPool2d(7) head
     inner_width_mult: float = 1.0   # WideResNet: widen bottleneck 3x3 widths only
     s2d_stem: bool = False          # fold the 7x7/2 stem via space-to-depth
+    remat: bool = False             # checkpoint each residual block
     dtype: Any = None
 
     @property
@@ -108,10 +109,19 @@ class ResNet(nn.Module):
                                   dtype=self.dtype)(identity)
         return relu(out + identity)
 
+    def _block_fn(self):
+        """Residual-block function, optionally per-block-rematerialized
+        (backprop stores only block inputs; see resnet3d.VideoResNet)."""
+        raw = (type(self)._basic if self.block == 'basic'
+               else type(self)._bottleneck)
+        if self.remat:
+            raw = nn.remat(raw, static_argnums=(2, 3, 4, 5, 6))
+        return raw.__get__(self)
+
     @nn.compact
     def __call__(self, x, mode: str = 'forward', head: bool = True,
                  train: bool = False):
-        block_fn = self._basic if self.block == 'basic' else self._bottleneck
+        block_fn = self._block_fn()
         if mode in ('forward', 'features'):
             if self.s2d_stem and not self.conv_bias:
                 from .layers import SpaceToDepthConv

@@ -174,23 +174,40 @@ def _train_losses(module, variables, x, labels, remat):
 def test_train_step_remat_matches_plain():
     """Whole-forward jax.checkpoint fallback (modules without a remat field)
     is a compute trade, not a numerics change."""
-    model = p.resnet18(num_classes=6, pretrained=None)
-    x = jnp.asarray(np.random.RandomState(1).randn(4, 32, 32, 3), jnp.float32)
+    import flax.linen as nn
+
+    class Tiny(nn.Module):     # deliberately has no `remat` field
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3))(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = jax.nn.relu(x).mean(axis=(1, 2))
+            return nn.Dense(6)(x)
+
+    module = Tiny()
+    x = jnp.asarray(np.random.RandomState(1).randn(4, 16, 16, 3), jnp.float32)
+    variables = dict(module.init(jax.random.key(0), x))
     labels = jnp.asarray(np.arange(4) % 6)
-    a = _train_losses(model.module, model.variables, x, labels, False)
-    b = _train_losses(model.module, model.variables, x, labels, True)
+    a = _train_losses(module, variables, x, labels, False)
+    b = _train_losses(module, variables, x, labels, True)
     np.testing.assert_allclose(b, a, rtol=1e-6)
 
 
-def test_train_step_block_remat_matches_plain():
-    """VideoResNet's per-block nn.remat (the long-clip training path): same
+@pytest.mark.parametrize('family', ['video', 'image'])
+def test_train_step_block_remat_matches_plain(family):
+    """Per-block nn.remat (the long-clip/large-batch training path): same
     param tree, identical losses, BN running stats still update."""
-    from pretorched_tpu.models.resnet3d import VideoResNet
-
-    module = VideoResNet(block='bottleneck', layers=(1, 1, 1, 1),
-                         num_classes=6)
-    x = jnp.asarray(np.random.RandomState(1).randn(2, 8, 32, 32, 3),
-                    jnp.float32)
+    if family == 'video':
+        from pretorched_tpu.models.resnet3d import VideoResNet
+        module = VideoResNet(block='bottleneck', layers=(1, 1, 1, 1),
+                             num_classes=6)
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 8, 32, 32, 3),
+                        jnp.float32)
+    else:
+        from pretorched_tpu.models.resnet import ResNet
+        module = ResNet(block='basic', layers=(1, 1, 1, 1), num_classes=6)
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 32, 32, 3),
+                        jnp.float32)
     variables = dict(module.init(jax.random.key(0), x))
     labels = jnp.asarray(np.arange(2) % 6)
     a = _train_losses(module, variables, x, labels, False)
