@@ -12,6 +12,7 @@ Rows (VERDICT r1 #4):
   5. fused uint8 decode->preprocess->forward device pipeline
   6. nonlocal attention kernel fwd+bwd, N=8192 (blockwise backward)
   7. SGD training step (fwd+bwd+update, donated buffers, bf16 compute)
+  8. SlowFast-R50 dual-pathway inference, 64-frame clips
 
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
 is measured against VS_BASELINE_CLIPS_PER_SEC — a documented estimate of the
@@ -28,6 +29,7 @@ completion forced the same way through the steps' data dependencies.
 """
 
 import dataclasses
+import gc
 import json
 import os
 import sys
@@ -130,6 +132,8 @@ def main():
         rows.append(dict(headline, batch=b,
                          gflops_per_clip=round(gf_per_clip, 1),
                          mfu=round(mfu, 3)))
+        del model, module, variables, clip, fwd, fwd1
+        gc.collect()
 
     # ------------------------------------------------ 2. resnet50 2D
     if want('resnet50'):
@@ -143,6 +147,8 @@ def main():
         dt, b = timed_scan(fwd2, img, ITERS, 'resnet50-2d')
         rows.append({'metric': f'resnet50 2D {SIZE}px bf16 img/sec/chip',
                      'value': round(b / dt, 1), 'unit': 'img/s', 'batch': b})
+        del m2, img, fwd2
+        gc.collect()
 
     # ---------------------------- 3. nonlocal resnet3d50 (Pallas engaged)
     if want('nonlocal'):
@@ -163,6 +169,8 @@ def main():
             'metric': (f'nonlocalresnet3d50 {nl_frames}f{SIZE}px bf16 '
                        f'clips/sec/chip (Pallas blockwise, layer2 N=6272)'),
             'value': round(b / dt, 2), 'unit': 'clips/s', 'batch': b})
+        del nl, clip, fwdn
+        gc.collect()
 
     # ---------------------------------------- 4. 10-clip consensus eval
     if want('multiclip'):
@@ -186,6 +194,8 @@ def main():
                        f'bf16 videos/sec/chip'),
             'value': round(b / dt, 2), 'unit': 'videos/s', 'batch': b,
             'clips_per_sec': round(b * nclips / dt, 1)})
+        del model, module, variables, vids, consensus
+        gc.collect()
 
     # --------------------------- 5. fused preprocess -> forward pipeline
     if want('pipeline'):
@@ -229,6 +239,8 @@ def main():
             'metric': (f'fused uint8 256px->preprocess->{SIZE}px forward '
                        f'{FRAMES}f device pipeline clips/sec/chip'),
             'value': round(64 / dt, 2), 'unit': 'clips/s', 'batch': 64})
+        del model, module, variables, raw, pipe, many
+        gc.collect()
 
     # ------------------------------- 6. nonlocal attention kernel fwd+bwd
     if want('attn'):
@@ -263,6 +275,8 @@ def main():
             'metric': (f'nonlocal attention fwd+bwd blockwise kernel '
                        f'N={n} C={c} f32 ms/iter'),
             'value': round(dt * 1000, 2), 'unit': 'ms'})
+        del q, k, v, gfn, many
+        gc.collect()
 
     # --------------------------------- 7. resnet3d50 training step (SGD)
     if want('train'):
@@ -289,14 +303,15 @@ def main():
         # the previous step's outputs, so device_get of the last loss chains
         # the whole sequence.
         while True:
-            # fresh device copies each attempt: the step donates its buffers
-            p = jax.tree_util.tree_map(jnp.copy, variables['params'])
-            bs = jax.tree_util.tree_map(jnp.copy, variables['batch_stats'])
-            os_ = tx.init(p)
-            clip = jnp.asarray(rng.rand(batch, FRAMES, SIZE, SIZE, 3),
-                               jnp.float32)
-            labels = jnp.asarray(np.arange(batch) % 400)
             try:
+                # fresh device copies each attempt: the step donates buffers
+                p = jax.tree_util.tree_map(jnp.copy, variables['params'])
+                bs = jax.tree_util.tree_map(jnp.copy,
+                                            variables['batch_stats'])
+                os_ = tx.init(p)
+                clip = jnp.asarray(rng.rand(batch, FRAMES, SIZE, SIZE, 3),
+                                   jnp.float32)
+                labels = jnp.asarray(np.arange(batch) % 400)
                 t0 = time.perf_counter()
                 p, bs, os_, m = step(p, bs, os_, clip, labels, 0)
                 jax.device_get(m['loss'])
@@ -314,11 +329,36 @@ def main():
                 print(f'# train b{batch} failed ({type(e).__name__}); '
                       f'retrying b{batch // 2}', file=sys.stderr)
                 batch //= 2
+                # drop any half-built device state before the retry copies
+                p = bs = os_ = clip = labels = m = None
+                gc.collect()
         assert np.isfinite(loss), loss
         rows.append({
             'metric': (f'resnet3d50 {FRAMES}f{SIZE}px bf16-compute SGD train '
                        f'step clips/sec/chip (donated buffers)'),
             'value': round(batch / dt, 2), 'unit': 'clips/s', 'batch': batch})
+        del model, module, variables, step, p, bs, os_, clip, labels, m
+        gc.collect()
+
+    # --------------------------------- 8. SlowFast dual-pathway inference
+    if want('slowfast'):
+        sf = pretorched.slowfast_resnet50(num_classes=400, pretrained=None)
+        sf.bfloat16()
+        # SlowFast consumes the full 64-frame clip and strides internally
+        # (slow /16, fast /2 — reference slowfast.py:390-395)
+        sf_frames = max(FRAMES, 64)
+        sf_batch = min(BATCH, 16)
+        clip = jnp.asarray(rng.rand(sf_batch, sf_frames, SIZE, SIZE, 3),
+                           jnp.bfloat16)
+
+        def fwds(c, sf=sf):
+            return sf.apply(sf.variables, c)[0, 0]
+
+        dt, b = timed_scan(fwds, clip, max(ITERS // 2, 5), 'slowfast50')
+        rows.append({
+            'metric': (f'slowfast_resnet50 {sf_frames}f{SIZE}px bf16 '
+                       f'clips/sec/chip'),
+            'value': round(b / dt, 2), 'unit': 'clips/s', 'batch': b})
 
     if headline is None:
         headline = dict(rows[0]) if rows else {
