@@ -149,6 +149,18 @@ class SpaceToDepthConv(nn.Module):
         dtype = self.dtype or x.dtype
         lpad = k // 2 + 1
         rpad = k // 2 - 1
+        if (x.shape[-3] + lpad + rpad) % 2 or (x.shape[-2] + lpad + rpad) % 2:
+            # odd spatial size: the 2x2 folding doesn't tile; run the
+            # equivalent plain strided conv (same kernel, same math)
+            if self.ndim == 3:
+                return jax.lax.conv_general_dilated(
+                    x.astype(dtype), kernel.astype(dtype), (1, 2, 2),
+                    [(k // 2, k // 2)] * 3,
+                    dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+            return jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype), (2, 2),
+                [(k // 2, k // 2)] * 2,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         xf = space_to_depth_2d(x.astype(dtype), lpad=lpad, rpad=rpad)
         if self.ndim == 3:
             kf = fold_stem_kernel_3d(kernel).astype(dtype)

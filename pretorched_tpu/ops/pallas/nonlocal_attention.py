@@ -13,13 +13,14 @@ that (an optional ``scale`` covers other uses). The ``dot_product`` and
 attention, evaluated in O(N*C^2) via associativity ((q @ (k^T @ v)) / N)
 without any kernel (see ``linear_nonlocal_attention``).
 
-Layout: q, v are (B, N, C); k is (B, N, C). All math f32 accumulation.
+Layout: q is (B, N, C); k, v are (B, Nk, C) — Nk may differ from N (the
+reference's ``sub_sample`` max-pools phi/g to Nk = N/8). All math f32
+accumulation.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -79,17 +80,24 @@ def _round_up(x, m):
 def _nonlocal_attention_fwd_lse(q, k, v, scale: float = 1.0,
                                 block_q: int = 512, block_k: int = 512,
                                 interpret: bool = False):
-    """Blockwise forward returning (out[B,N,C], logsumexp[B,N])."""
-    b, n, c = q.shape
-    bq = min(block_q, _round_up(n, 128))
-    bk = min(block_k, _round_up(n, 128))
-    n_pad = _round_up(n, math.lcm(bq, bk))
-    pad = [(0, 0), (0, n_pad - n), (0, 0)]
-    qp, kp, vp = (jnp.pad(a, pad) for a in (q, k, v))
+    """Blockwise forward returning (out[B,N,C], logsumexp[B,N]).
 
-    grid = (b, n_pad // bq, n_pad // bk)
+    q may have a different sequence length than k/v (the reference's
+    ``sub_sample`` max-pools phi/g to N/8 keys, nonlocalnet.py:126-131):
+    each side pads to its own block multiple and the key mask uses the
+    key count."""
+    b, n, c = q.shape
+    nk = k.shape[1]
+    bq = min(block_q, _round_up(n, 128))
+    bk = min(block_k, _round_up(nk, 128))
+    n_pad = _round_up(n, bq)
+    nk_pad = _round_up(nk, bk)
+    qp = jnp.pad(q, [(0, 0), (0, n_pad - n), (0, 0)])
+    kp, vp = (jnp.pad(a, [(0, 0), (0, nk_pad - nk), (0, 0)]) for a in (k, v))
+
+    grid = (b, n_pad // bq, nk_pad // bk)
     out, lse = pl.pallas_call(
-        functools.partial(_attn_kernel, n_valid=n, block_k=bk, scale=scale),
+        functools.partial(_attn_kernel, n_valid=nk, block_k=bk, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
@@ -113,9 +121,9 @@ def _nonlocal_attention_fwd_lse(q, k, v, scale: float = 1.0,
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * n_pad * n_pad * c,
-            bytes_accessed=(3 * b * n_pad * c + b * n_pad * c) * 4,
-            transcendentals=b * n_pad * n_pad),
+            flops=4 * b * n_pad * nk_pad * c,
+            bytes_accessed=(b * n_pad * c + 3 * b * nk_pad * c) * 4,
+            transcendentals=b * n_pad * nk_pad),
     )(qp, kp, vp)
     return out[:, :n], lse[:, :n, 0]
 
@@ -203,13 +211,18 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
                                       interpret: bool = False):
     """Flash-style blockwise backward: O(N) memory, never materializes the
     N x N affinity (VERDICT r1 #5; replaces the reference-VJP fallback that
-    did — nonlocalnet.py:143-166 is the O(N^2) formulation)."""
+    did — nonlocalnet.py:143-166 is the O(N^2) formulation). Rectangular
+    q vs k/v (sub_sample) pads each side to its own block multiple."""
     b, n, c = q.shape
+    nk = k.shape[1]
     bq = min(block_q, _round_up(n, 128))
-    bk = min(block_k, _round_up(n, 128))
-    n_pad = _round_up(n, math.lcm(bq, bk))
-    pad = [(0, 0), (0, n_pad - n), (0, 0)]
-    qp, kp, vp, dop = (jnp.pad(a, pad) for a in (q, k, v, do))
+    bk = min(block_k, _round_up(nk, 128))
+    n_pad = _round_up(n, bq)
+    nk_pad = _round_up(nk, bk)
+    qpad = [(0, 0), (0, n_pad - n), (0, 0)]
+    kpad = [(0, 0), (0, nk_pad - nk), (0, 0)]
+    qp, dop = jnp.pad(q, qpad), jnp.pad(do, qpad)
+    kp, vp = jnp.pad(k, kpad), jnp.pad(v, kpad)
     # delta_i = rowsum(do_i * o_i); padded rows contribute zero cotangent
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     lsep = jnp.pad(lse, [(0, 0), (0, n_pad - n)])[..., None]
@@ -217,8 +230,9 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
 
     row_spec = lambda i, j, kk: (i, j, 0)       # noqa: E731
     dq = pl.pallas_call(
-        functools.partial(_attn_dq_kernel, n_valid=n, block_k=bk, scale=scale),
-        grid=(b, n_pad // bq, n_pad // bk),
+        functools.partial(_attn_dq_kernel, n_valid=nk, block_k=bk,
+                          scale=scale),
+        grid=(b, n_pad // bq, nk_pad // bk),
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
             pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
@@ -232,16 +246,16 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
         scratch_shapes=[pltpu.VMEM((bq, c), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=6 * b * n_pad * n_pad * c,
+            flops=6 * b * n_pad * nk_pad * c,
             bytes_accessed=6 * b * n_pad * c * 4,
-            transcendentals=b * n_pad * n_pad),
+            transcendentals=b * n_pad * nk_pad),
     )(qp, kp, vp, dop, lsep, deltap)
 
     qcol_spec = lambda i, j, qq: (i, qq, 0)     # noqa: E731
     dk, dv = pl.pallas_call(
         functools.partial(_attn_dkv_kernel, n_valid=n, block_q=bq,
                           scale=scale),
-        grid=(b, n_pad // bk, n_pad // bq),
+        grid=(b, nk_pad // bk, n_pad // bq),
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda i, j, qq: (i, qq, 0)),
             pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
@@ -255,18 +269,18 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
             pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, c), k.dtype),
-            jax.ShapeDtypeStruct((b, n_pad, c), v.dtype),
+            jax.ShapeDtypeStruct((b, nk_pad, c), k.dtype),
+            jax.ShapeDtypeStruct((b, nk_pad, c), v.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((bk, c), jnp.float32),
                         pltpu.VMEM((bk, c), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=8 * b * n_pad * n_pad * c,
-            bytes_accessed=8 * b * n_pad * c * 4,
-            transcendentals=b * n_pad * n_pad),
+            flops=8 * b * n_pad * nk_pad * c,
+            bytes_accessed=8 * b * nk_pad * c * 4,
+            transcendentals=b * n_pad * nk_pad),
     )(qp, kp, vp, dop, lsep, deltap)
-    return dq[:, :n], dk[:, :n], dv[:, :n]
+    return dq[:, :n], dk[:, :nk], dv[:, :nk]
 
 
 def nonlocal_attention_reference(q, k, v, scale: float = 1.0):

@@ -50,11 +50,3 @@ def fold_stem_kernel_3d(kernel):
     kt = kernel.shape[0]
     folded = [fold_stem_kernel_2d(kernel[t]) for t in range(kt)]
     return jnp.stack(folded, axis=0)
-
-
-def s2d_conv_output_pad(k: int) -> tuple:
-    """Padding for the folded stride-1 conv so outputs align exactly: the
-    space-to-depth already embeds the original pad; the folded conv runs
-    VALID."""
-    del k
-    return (0, 0)

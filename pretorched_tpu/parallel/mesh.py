@@ -46,12 +46,16 @@ def model_shardings(mesh: Mesh, variables, head_path: str = 'last_linear'):
     everything else replicated."""
     replicated = NamedSharding(mesh, P())
 
+    tp = mesh.shape.get('model', 1)
+
     def spec_for(path, leaf):
         keys = [getattr(p, 'key', None) for p in path]
-        if head_path in keys and mesh.shape.get('model', 1) > 1:
-            if keys[-1] == 'kernel':
+        if head_path in keys and tp > 1:
+            # column-shard only when the class dim divides the axis (a
+            # 101-class fine-tune head on a tp=2 axis stays replicated)
+            if keys[-1] == 'kernel' and leaf.shape[-1] % tp == 0:
                 return NamedSharding(mesh, P(None, 'model'))
-            if keys[-1] == 'bias':
+            if keys[-1] == 'bias' and leaf.shape[0] % tp == 0:
                 return NamedSharding(mesh, P('model'))
         return replicated
 

@@ -48,9 +48,10 @@ def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
             variables = {'params': params}
             if has_batch_stats and batch_stats is not None:
                 variables['batch_stats'] = batch_stats
-            out = module.apply(variables, x, train=True, mutable=mutable,
-                               rngs={'dropout': rng})
-            return out if mutable else (out, {})
+            # flax returns (y, mutated) whenever mutable is a list — even []
+            # (it checks `mutable is not False`, not truthiness)
+            return module.apply(variables, x, train=True, mutable=mutable,
+                                rngs={'dropout': rng})
 
         if remat:
             fwd = jax.checkpoint(fwd)

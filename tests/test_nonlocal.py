@@ -164,6 +164,39 @@ def test_pallas_attention_blockwise_backward():
                                        err_msg=f'd{name} n={n}')
 
 
+def test_pallas_attention_rectangular():
+    """q longer than k/v — the sub_sample layout (phi/g max-pooled to N/8,
+    nonlocalnet.py:126-131): each side pads to its own block multiple and
+    the key mask uses the key count. Forward + dq/dk/dv vs the reference."""
+    from pretorched_tpu.ops.pallas.nonlocal_attention import (
+        _nonlocal_attention_ad, nonlocal_attention,
+        nonlocal_attention_reference)
+    rng = np.random.RandomState(2)
+    q = rng.randn(2, 300, 32).astype(np.float32)
+    k = rng.randn(2, 72, 32).astype(np.float32)
+    v = rng.randn(2, 72, 32).astype(np.float32)
+    ct = rng.randn(2, 300, 32).astype(np.float32)
+
+    ref = np.asarray(nonlocal_attention_reference(q, k, v, scale=0.5))
+    got = np.asarray(nonlocal_attention(q, k, v, scale=0.5, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def loss_pallas(q, k, v):
+        return (jax.numpy.asarray(ct) *
+                _nonlocal_attention_ad(q, k, v, 0.5, True)).sum()
+
+    def loss_ref(q, k, v):
+        return (jax.numpy.asarray(ct) *
+                nonlocal_attention_reference(q, k, v, scale=0.5)).sum()
+
+    got_g = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    ref_g = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got_g, ref_g, 'qkv'):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f'd{name} rectangular')
+
+
 def test_pallas_attention_lse():
     from pretorched_tpu.ops.pallas.nonlocal_attention import (
         _nonlocal_attention_fwd_lse)
@@ -195,4 +228,16 @@ def test_pallas_attention_compiled_on_tpu():
     g = jax.jit(jax.grad(lambda a, b, c:
                          _nonlocal_attention_ad(a, b, c, 1.0, False).sum(),
                          argnums=(0, 1, 2)))(q, k, v)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
+
+    # rectangular (sub_sample) shapes compile and match too: Nk = N/8
+    ks, vs = k[:, :512], v[:, :512]
+    got = _nonlocal_attention_ad(q, ks, vs, 1.0, False)
+    ref = nonlocal_attention_reference(q, ks, vs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)
+    g = jax.jit(jax.grad(lambda a, b, c:
+                         _nonlocal_attention_ad(a, b, c, 1.0, False).sum(),
+                         argnums=(0, 1, 2)))(q, ks, vs)
+    assert g[1].shape == ks.shape and g[2].shape == vs.shape
     assert all(np.isfinite(np.asarray(x)).all() for x in g)

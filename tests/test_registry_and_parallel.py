@@ -228,3 +228,48 @@ def test_published_param_counts():
     assert p.nasnetalarge(num_classes=1000, pretrained=None).num_params() == 88753150
     assert p.pnasnet5large(num_classes=1000, pretrained=None).num_params() == 86057668
     assert p.polynet(num_classes=1000, pretrained=None).num_params() == 95366600
+
+
+def test_train_step_without_batch_stats():
+    """make_train_step(has_batch_stats=False): flax apply with mutable=[]
+    still returns an (out, vars) tuple — BN-free models must train."""
+    import flax.linen as nn
+    import optax
+
+    from pretorched_tpu.parallel import make_train_step
+
+    class NoBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3))(x)
+            x = jax.nn.relu(x).mean(axis=(1, 2))
+            return nn.Dense(5)(x)
+
+    module = NoBN()
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16, 16, 3), jnp.float32)
+    params = module.init(jax.random.key(0), x)['params']
+    tx = optax.sgd(0.1)
+    step = make_train_step(module, tx, has_batch_stats=False)
+    opt_state = tx.init(params)
+    params, bs, opt_state, m = step(params, None, opt_state, x,
+                                    jnp.asarray(np.arange(4) % 5), 0)
+    assert bs is None and np.isfinite(float(m['loss']))
+
+
+def test_model_shardings_indivisible_head_stays_replicated():
+    """A 101-class head on a tp=2 axis can't column-shard; it must fall back
+    to replicated instead of failing at placement."""
+    from pretorched_tpu.parallel import make_mesh
+    from pretorched_tpu.parallel.mesh import model_shardings
+
+    mesh = make_mesh((4, 2))
+    model = p.resnet18(num_classes=101, pretrained=None)
+    shardings = model_shardings(mesh, model.variables)
+    placed = jax.device_put(model.variables, shardings)   # must not raise
+    spec = placed['params']['last_linear']['kernel'].sharding.spec
+    assert 'model' not in str(spec)
+    # divisible heads still shard
+    model2 = p.resnet18(num_classes=100, pretrained=None)
+    placed2 = jax.device_put(model2.variables,
+                             model_shardings(mesh, model2.variables))
+    assert 'model' in str(placed2['params']['last_linear']['kernel'].sharding.spec)

@@ -41,3 +41,23 @@ def test_s2d_3d_exact():
     assert folded.shape == direct.shape
     np.testing.assert_allclose(np.asarray(folded), np.asarray(direct),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_conv_module_odd_size_fallback():
+    """SpaceToDepthConv on odd H/W (223px): the 2x2 folding can't tile, so
+    the module runs the equivalent plain strided conv — same params, same
+    outputs as the even-size path's math."""
+    from pretorched_tpu.models.layers import SpaceToDepthConv
+    rng = np.random.RandomState(0)
+    mod = SpaceToDepthConv(8, 7, ndim=2)
+    x_even = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+    variables = mod.init(jax.random.key(0), x_even)
+    k = variables['params']['kernel']
+    for size in (63, 65):
+        x = jnp.asarray(rng.randn(1, size, size, 3), jnp.float32)
+        got = mod.apply(variables, x)
+        direct = _conv(x, k, (2, 2), [(3, 3), (3, 3)],
+                       ('NHWC', 'HWIO', 'NHWC'))
+        assert got.shape == direct.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                                   rtol=1e-4, atol=1e-4)
