@@ -202,13 +202,14 @@ def main():
         from pretorched_tpu.transforms.fused import _fused, _settings_tuple
         model = pretorched.resnet3d50(num_classes=400, pretrained=None)
         model.bfloat16()
-        module, variables = model.module, model.variables
+        # same s2d stem as the headline row so the delta vs row 1 isolates
+        # the preprocessing cost rather than a different stem/batch
+        module = dataclasses.replace(model.module, s2d_stem=True)
+        variables = model.variables
         spec = _settings_tuple(model.settings or {
             'input_size': [3, SIZE, SIZE], 'input_space': 'RGB',
             'input_range': [0, 1], 'mean': [0.485, 0.456, 0.406],
             'std': [0.229, 0.224, 0.225]})
-        raw = jnp.asarray(rng.randint(0, 255, (64, FRAMES, 256, 256, 3)),
-                          jnp.uint8)
 
         def pipe(u8, module=module, variables=variables, spec=spec):
             b, t = u8.shape[:2]
@@ -217,28 +218,44 @@ def main():
             x = x.reshape((b, t) + x.shape[1:]).astype(jnp.bfloat16)
             return module.apply(variables, x)[0, 0]
 
-        # uint8 input: thread a zero-valued uint8 carry into the input so the
-        # loop body can't be hoisted as loop-invariant
-        @jax.jit
-        def many(u8):
-            def body(carry, _):
-                out = pipe(u8 + carry)
-                return (out * 0).astype(jnp.uint8), out
-            _, outs = jax.lax.scan(body, jnp.uint8(0), None,
-                                   length=max(ITERS // 2, 5))
-            return jnp.sum(outs.astype(jnp.float32))
+        pbatch = min(BATCH, 128)
+        while True:
+            raw = jnp.asarray(
+                rng.randint(0, 255, (pbatch, FRAMES, 256, 256, 3)), jnp.uint8)
 
-        t0 = time.perf_counter()
-        jax.device_get(many(raw))
-        print(f'# pipeline compile+first: {time.perf_counter() - t0:.1f}s',
-              file=sys.stderr)
+            # uint8 input: thread a zero-valued uint8 carry into the input so
+            # the loop body can't be hoisted as loop-invariant
+            @jax.jit
+            def many(u8):
+                def body(carry, _):
+                    out = pipe(u8 + carry)
+                    return (out * 0).astype(jnp.uint8), out
+                _, outs = jax.lax.scan(body, jnp.uint8(0), None,
+                                       length=max(ITERS // 2, 5))
+                return jnp.sum(outs.astype(jnp.float32))
+
+            try:
+                t0 = time.perf_counter()
+                jax.device_get(many(raw))
+                print(f'# pipeline b{pbatch} compile+first: '
+                      f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
+                break
+            except Exception as e:  # noqa: BLE001 — OOM insurance
+                if pbatch <= 2:
+                    raise
+                print(f'# pipeline b{pbatch} failed ({type(e).__name__}); '
+                      f'retrying b{pbatch // 2}', file=sys.stderr)
+                pbatch //= 2
+                raw = many = None
+                gc.collect()
         t0 = time.perf_counter()
         jax.device_get(many(raw))
         dt = (time.perf_counter() - t0) / max(ITERS // 2, 5)
         rows.append({
             'metric': (f'fused uint8 256px->preprocess->{SIZE}px forward '
-                       f'{FRAMES}f device pipeline clips/sec/chip'),
-            'value': round(64 / dt, 2), 'unit': 'clips/s', 'batch': 64})
+                       f'{FRAMES}f device pipeline clips/sec/chip (s2d stem)'),
+            'value': round(pbatch / dt, 2), 'unit': 'clips/s',
+            'batch': pbatch})
         del model, module, variables, raw, pipe, many
         gc.collect()
 
