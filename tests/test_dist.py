@@ -33,3 +33,29 @@ def test_initialize_explicit_args(monkeypatch):
     assert dist.initialize('10.0.0.1:9999', 2, 0) is True
     assert called == dict(coordinator_address='10.0.0.1:9999',
                           num_processes=2, process_id=0)
+
+
+def test_two_process_distributed_eval():
+    """REAL multi-process integration (no monkeypatch): two subprocesses,
+    2 virtual CPU devices each, joined by dist.initialize into one 4-device
+    global mesh (Gloo — the CPU stand-in for a multi-host pod). Each process
+    feeds only its half of the batch; the psum'd metrics must equal the
+    single-process oracle. See tests/dist_eval_worker.py."""
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), 'dist_eval_worker.py')
+    port = str(15000 + os.getpid() % 10000)
+    env = dict(os.environ)
+    procs = [subprocess.Popen([sys.executable, worker, str(pid), port],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for pid in (0, 1)]
+    outs = []
+    for p_ in procs:
+        out, _ = p_.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p_, out) in enumerate(zip(procs, outs)):
+        assert p_.returncode == 0, f'worker {pid} failed:\n{out[-3000:]}'
+        assert f'DIST-EVAL-OK proc={pid}' in out, out[-3000:]
