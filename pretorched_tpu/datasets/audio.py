@@ -80,6 +80,8 @@ def soundnet_input(path: str, sample_rate: int = 22050,
     than ``min_length`` samples is tiled (the reference's commented
     torch.cat doubling)."""
     x, _ = load_audio(path, sample_rate=sample_rate, mono=True)
+    if len(x) == 0:
+        raise ValueError(f'decoded zero samples from {path!r}')
     if min_length is not None and len(x) < min_length:
         reps = -(-min_length // len(x))
         x = np.tile(x, (reps, 1))[:min_length]

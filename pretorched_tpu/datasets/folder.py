@@ -75,19 +75,38 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
 
     q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
     stop = object()
+    abandoned = threading.Event()     # consumer broke out of the loop early
+
+    def put_or_abandon(item) -> bool:
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def producer():
-        for idxs in batches:
-            q.put(load_batch(idxs))
-        q.put(stop)
+        try:
+            for idxs in batches:
+                if not put_or_abandon(load_batch(idxs)):
+                    return
+            put_or_abandon(stop)
+        finally:
+            executor.shutdown(wait=False)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+    finally:
+        # unblocks the producer (and frees its thread pool + prefetched
+        # batches) when the consumer stops early — GeneratorExit lands here
+        abandoned.set()
 
 
 def fast_eval_batches(root: str, settings, batch_size: int,
@@ -102,7 +121,7 @@ def fast_eval_batches(root: str, settings, batch_size: int,
     import math
 
     from ..transforms.fused import fused_preprocess
-    from .native import decode_jpeg_batch
+    from .native import decode_jpeg_batch, jpeg_short_side
 
     ds = ImageFolder(root)
     crop = max(settings['input_size'] if isinstance(settings, dict)
@@ -118,7 +137,19 @@ def fast_eval_batches(root: str, settings, batch_size: int,
             with open(path, 'rb') as f:
                 buffers.append(f.read())
             labels.append(label)
-        arrays = decode_jpeg_batch(buffers, threads=num_threads)
+        # reduced-DCT-scale decode: the largest denom in {8,4,2,1} that keeps
+        # every image's short side >= the resize target, read from headers
+        # only — the host never decodes pixels the crop would discard
+        shorts = [jpeg_short_side(b) for b in buffers]
+        denom = 1
+        if all(s is not None for s in shorts) and shorts:
+            smallest = min(shorts)
+            for d in (8, 4, 2):
+                if smallest // d >= target_short:
+                    denom = d
+                    break
+        arrays = decode_jpeg_batch(buffers, threads=num_threads,
+                                   scale_denom=denom)
         # bucket by decoded size: each distinct size compiles the fused
         # transform once; pad to the max size in the batch instead to keep one
         # compilation — simplest robust choice: per-image resize on host is

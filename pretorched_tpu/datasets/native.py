@@ -59,6 +59,30 @@ def native_available() -> bool:
     return _get_lib() is not None
 
 
+def jpeg_short_side(buffer: bytes) -> Optional[int]:
+    """Short side of a JPEG from its header only (no pixel decode); None if
+    unparseable. Used to pick a batch-wide DCT scale_denom."""
+    lib = _get_lib()
+    if lib is not None:
+        arr = np.frombuffer(buffer, np.uint8)
+        h, w = ctypes.c_int(), ctypes.c_int()
+        rc = lib.pt_jpeg_dims(arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                              ctypes.c_size_t(len(buffer)), 1,
+                              ctypes.byref(h), ctypes.byref(w))
+        if rc == 0:
+            return min(h.value, w.value)
+        return None
+    try:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(buffer)) as img:   # lazy: header only
+            return min(img.size)
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def _pil_decode(buffers, scale_denom):
     import io
 

@@ -67,7 +67,11 @@ def download_url(url: str, destination: Optional[str] = None,
                 last[0] = b
         except ImportError:
             pass
-    filename, _ = urlretrieve(url, filename=destination, reporthook=hook)
+    try:
+        filename, _ = urlretrieve(url, filename=destination, reporthook=hook)
+    finally:
+        if progress_bar and hook is not None:
+            t.close()
     return filename
 
 

@@ -31,12 +31,19 @@ import jax.numpy as jnp
 def bucket_dim(n: int, multiple: int = 32,
                ladder: Optional[Sequence[int]] = None) -> int:
     """Round ``n`` up to the next rung: the smallest ladder entry >= n, or
-    the next multiple of ``multiple``."""
+    the next multiple of ``multiple``. An ``n`` above every ladder rung
+    falls back to the multiple rule (never silently downsized — a downsize
+    would change eval numerics) with a one-time warning that the compile
+    set is no longer bounded by the ladder."""
     if ladder is not None:
         for rung in sorted(ladder):
             if rung >= n:
                 return rung
-        return max(ladder)
+        import warnings
+        warnings.warn(
+            f'bucket_dim: {n} exceeds every ladder rung {sorted(ladder)}; '
+            f'rounding up to a multiple of {multiple} instead (unbounded '
+            f'compile set for such sizes)', stacklevel=2)
     return ((n + multiple - 1) // multiple) * multiple
 
 

@@ -26,11 +26,13 @@ def save_checkpoint(path: str, state: Dict[str, Any],
     except Exception:
         from flax import serialization
 
-        meta = state.get('meta')
+        # a failed Orbax save can leave a partial directory which
+        # load_checkpoint would prefer over the msgpack fallback — remove it
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
         with open(path if path.endswith('.msgpack') else path + '.msgpack',
                   'wb') as f:
             f.write(serialization.to_bytes(state))
-        _ = meta
     if is_best:
         dst = os.path.join(os.path.dirname(os.path.abspath(path)) or '.',
                            best_name)

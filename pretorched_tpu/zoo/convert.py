@@ -196,6 +196,7 @@ def convert_state_dict_ordered(state_dict, variables: dict,
     leaf_map = {'kernel': 'weight', 'bias': 'bias', 'scale': 'weight',
                 'mean': 'running_mean', 'var': 'running_var'}
     for ours, (tprefix, tgroup) in zip(ordered_leaves, torch_groups):
+        matched = False
         for path in flat:
             if '.'.join(path[1:-1]) != ours:
                 continue
@@ -207,7 +208,15 @@ def convert_state_dict_ordered(state_dict, variables: dict,
                 raise ValueError(
                     f'shape mismatch {tprefix}->{ours}: {value.shape} vs '
                     f'{np.shape(flat[path])}')
-            out[path] = jnp.asarray(np.ascontiguousarray(value))
+            out[path] = jnp.asarray(np.ascontiguousarray(value),
+                                    dtype=jnp.asarray(flat[path]).dtype)
+            matched = True
+        if not matched:
+            # a typo'd ordered_leaves entry would otherwise leave that leaf
+            # randomly initialized and silently consume a torch group
+            raise ValueError(
+                f'ordered leaf {ours!r} matches no model variable '
+                f'(torch group {tprefix!r} would be dropped)')
     return unflatten_variables(out)
 
 

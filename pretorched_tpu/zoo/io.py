@@ -37,7 +37,9 @@ def converted_path(name: str, dataset: str) -> Path:
 
 
 def find_torch_checkpoint(url: str) -> Optional[Path]:
-    fname = url.rstrip('/').rsplit('/', 1)[-1]
+    fname = (url or '').rstrip('/').rsplit('/', 1)[-1]
+    if not fname:
+        return None     # settings with url=None (no hosted checkpoint)
     for base in (cache_dir() / 'weights', cache_dir(), Path.home() / '.torch' / 'models'):
         p = base / fname
         if p.exists():

@@ -20,7 +20,11 @@ def test_bucket_dim_math():
     assert bucket_dim(1, 32) == 32
     assert bucket_dim(200, ladder=[224, 256, 331]) == 224
     assert bucket_dim(300, ladder=[224, 256, 331]) == 331
-    assert bucket_dim(999, ladder=[224, 256, 331]) == 331   # clamps to max
+    # above every rung: rounds UP via the multiple rule (never a silent
+    # downsize, which would change eval numerics) and warns
+    import pytest as _pytest
+    with _pytest.warns(UserWarning, match='exceeds every ladder rung'):
+        assert bucket_dim(999, ladder=[224, 256, 331]) == 1024
     assert bucket_spatial(230, 300, 32) == (256, 320)
     assert bucket_frames(13, 8) == 16
 

@@ -72,3 +72,51 @@ def test_fast_eval_batches(tmp_path):
         assert len(labels) == batch.shape[0]
         total += batch.shape[0]
     assert total == 6
+
+
+def test_fast_eval_batches_dct_scaled_decode(tmp_path):
+    """Large sources decode at reduced DCT scale (header-driven batch denom)
+    and still come out at the model's crop size."""
+    import os
+
+    from PIL import Image as PILImage
+
+    from pretorched_tpu.datasets.folder import fast_eval_batches
+
+    rng = np.random.RandomState(1)
+    d = tmp_path / 'val' / 'a'
+    os.makedirs(d)
+    for i in range(2):
+        PILImage.fromarray(
+            rng.randint(0, 255, (1100, 1200, 3), np.uint8)).save(d / f'{i}.jpg')
+    total = 0
+    for batch, labels in fast_eval_batches(str(tmp_path / 'val'), SETTINGS, 2):
+        assert batch.shape[1:] == (224, 224, 3)
+        total += batch.shape[0]
+    assert total == 2
+
+
+def test_batch_iterator_early_break_frees_producer():
+    """Abandoning the generator early must unblock the producer thread
+    (bounded queue) instead of pinning it and its thread pool forever."""
+    import threading
+    import time
+
+    from pretorched_tpu.datasets.folder import batch_iterator
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return np.zeros((8, 8, 3), np.float32), 0
+
+    before = threading.active_count()
+    it = batch_iterator(DS(), batch_size=4, num_workers=2, prefetch=2)
+    next(it)
+    it.close()                      # GeneratorExit -> abandoned.set()
+    for _ in range(100):            # producer + pool wind down
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before

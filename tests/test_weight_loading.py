@@ -59,3 +59,41 @@ def test_pth_convert_and_cache(tmp_path, monkeypatch):
     # metadata stamped (reference: load_pretrained)
     assert m1.input_size == [3, 224, 224]
     assert m1.mean == [0.485, 0.456, 0.406]
+
+
+def test_pretrained_with_null_url_falls_back_to_random_init():
+    """Settings registered with url=None (e.g. resnet3d10 kinetics): the
+    factory must warn and return an initialized model, not crash on the
+    cache directory path."""
+    import warnings
+
+    import pretorched_tpu as p
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        model = p.resnet3d10(num_classes=400, pretrained='kinetics-400')
+    x = np.random.RandomState(0).randn(1, 3, 4, 32, 32).astype(np.float32)
+    assert model(x).shape == (1, 400)
+
+
+def test_ordered_converter_rejects_unmatched_leaf():
+    """A typo'd ordered_leaves entry must raise, not silently leave the leaf
+    randomly initialized while consuming a torch param group."""
+    import flax.linen as nn
+    import pytest as _pytest
+
+    from pretorched_tpu.zoo import convert
+
+    import jax
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3, name='head')(x)
+
+    m = M()
+    variables = dict(m.init(jax.random.key(0), np.zeros((1, 4), np.float32)))
+    sd = {'head.weight': np.zeros((3, 4), np.float32),
+          'head.bias': np.zeros((3,), np.float32)}
+    with _pytest.raises(ValueError, match='matches no model variable'):
+        convert.convert_state_dict_ordered(sd, variables, ['haed'])
