@@ -364,7 +364,8 @@ def main():
         # SlowFast consumes the full 64-frame clip and strides internally
         # (slow /16, fast /2 — reference slowfast.py:390-395)
         sf_frames = max(FRAMES, 64)
-        sf_batch = int(os.environ.get('BENCH_SF_BATCH', min(BATCH, 16)))
+        # v5e sweep: b16 227, b32 338, b64 518, b128 717.8 clips/s, b256 OOM
+        sf_batch = int(os.environ.get('BENCH_SF_BATCH', min(BATCH, 128)))
         clip = jnp.asarray(rng.rand(sf_batch, sf_frames, SIZE, SIZE, 3),
                            jnp.bfloat16)
 
