@@ -37,7 +37,8 @@ def parse_args():
     p.add_argument('-e', '--evaluate', action='store_true')
     p.add_argument('--pretrained', default='imagenet',
                    help="pretrained dataset tag or 'none'")
-    p.add_argument('--scale', default=0.875, type=float)
+    p.add_argument('--scale', default=None, type=float,
+                   help='resize scale; default: model metadata, else 0.875')
     p.add_argument('--fast-pipeline', action='store_true',
                    help='native C++ JPEG decode + fused device preprocessing')
     p.add_argument('--ten-crop', action='store_true',
@@ -80,15 +81,38 @@ def main():
 
     settings = (model.settings if model.settings is not None else
                 pretorched.pretrained_settings[args.arch]['imagenet'])
-    scale = settings.get('scale', args.scale)
+    # explicit --scale wins; otherwise the model's own metadata (xception
+    # et al. carry a 'scale'), else the 0.875 default
+    scale = (args.scale if args.scale is not None
+             else settings.get('scale', 0.875))
     mesh = make_mesh()
     print(f"=> mesh: {dict(mesh.shape)}")
 
+    best_prec1 = 0.0
     if args.resume and os.path.isfile(args.resume):
         print(f"=> loading checkpoint '{args.resume}'")
         from flax import serialization
         with open(args.resume, 'rb') as f:
             model.variables = serialization.from_bytes(model.variables, f.read())
+        # reference resumes epoch + best_prec1 too (imagenet_eval.py:78-88)
+        meta_path = args.resume + '.meta'
+        if os.path.isfile(meta_path):
+            import ast
+            with open(meta_path) as f:
+                meta = ast.literal_eval(f.read())
+            if not args.start_epoch:
+                args.start_epoch = int(meta.get('epoch', -1)) + 1
+            best_prec1 = float(meta.get('best_prec1', 0.0))
+            print(f"=> resumed epoch {args.start_epoch} "
+                  f"(best_prec1 {best_prec1:.3f})")
+
+    if args.fast_pipeline and args.ten_crop:
+        raise SystemExit('--ten-crop needs uncropped resized frames; the '
+                         'fast pipeline emits center-cropped batches — use '
+                         'one or the other')
+    if args.fast_pipeline and args.no_preserve_aspect_ratio:
+        print('warning: --no-preserve-aspect-ratio is ignored by '
+              '--fast-pipeline (fused path resizes short-side)')
 
     # 10-crop: square resize only (crop happens on device, 10 ways)
     val_tf = TransformImage(
@@ -166,7 +190,6 @@ def main():
     batch_stats = model.variables.get('batch_stats')
     opt_state = tx.init(params)
 
-    best_prec1 = 0.0
     step_idx = args.start_epoch * steps_per_epoch
     for epoch in range(args.start_epoch, args.epochs):
         batch_time, losses, top1 = AverageMeter(), AverageMeter(), AverageMeter()

@@ -47,13 +47,13 @@ def main():
     jaxpr = jax.make_jaxpr(
         lambda v, x: model.module.apply(v, x))(model.variables, x_spec)
     print(f'== {args.arch}: traced ops and output shapes ==')
+    # convs/matmuls always; pooling windows too (the reference's hooks print
+    # every module's output size, visu_arch.py:75-92)
     for eqn in jaxpr.jaxpr.eqns:
         if eqn.primitive.name in ('conv_general_dilated', 'dot_general',
-                                  'reduce_window_max', 'reduce_window_sum',
-                                  'add', 'max'):
+                                  'reduce_window_max', 'reduce_window_sum'):
             shapes = [tuple(v.aval.shape) for v in eqn.outvars]
-            if eqn.primitive.name in ('conv_general_dilated', 'dot_general'):
-                print(f'{eqn.primitive.name:24s} -> {shapes}')
+            print(f'{eqn.primitive.name:24s} -> {shapes}')
 
     # one real forward: dump input, first-conv filters, first activations
     img = LoadImage()(args.image)

@@ -63,11 +63,16 @@ def train_multilabel(features, targets, classes, train_split, test_split, C=1.0)
 
     aps = []
     for ic, c in enumerate(classes):
-        train_t = (targets[train_split][:, ic] == 1).astype(int)
-        test_t = (targets[test_split][:, ic] == 1).astype(int)
+        # reference protocol (ignore_hard_examples=True, voc2007_extract.py
+        # :67-74): rows whose target for THIS class is difficult (0) are
+        # excluded from both the SVM fit and the AP; positives are == 1
+        tr_mask = targets[train_split][:, ic] != 0
+        te_mask = targets[test_split][:, ic] != 0
+        train_t = (targets[train_split][tr_mask, ic] == 1).astype(int)
+        test_t = (targets[test_split][te_mask, ic] == 1).astype(int)
         clf = LinearSVC(C=C)
-        clf.fit(features[train_split], train_t)
-        scores = clf.decision_function(features[test_split])
+        clf.fit(features[train_split][tr_mask], train_t)
+        scores = clf.decision_function(features[test_split][te_mask])
         ap = AveragePrecisionMeter.average_precision(
             scores, test_t, difficult_examples=False)
         aps.append(ap)

@@ -7,8 +7,11 @@ item 9), built here from the published architecture (arXiv:1809.11096):
 * hierarchical latent: z is split into per-block chunks, each concatenated
   with a shared class embedding to drive conditional BatchNorm gains/biases;
 * G blocks: condBN -> relu -> 2x nearest upsample -> 3x3 conv -> condBN ->
-  relu -> 3x3 conv, plus a 1x1-conv upsample skip;
-* one SAGAN self-attention block mid-resolution (64x64);
+  relu -> 3x3 conv; the skip is 1x1-conv'd whenever the block upsamples or
+  changes width (the published ``learnable_sc`` rule);
+* one SAGAN self-attention block mid-resolution (64x64), phi/g max-pooled
+  2x2 as in SAGAN (attention reads N/4 keys);
+* latent layout: 20 dims per chunk -> dim_z 120 at 128px, 140 at 256px;
 * head: BN -> relu -> 3x3 conv -> tanh;
 * truncated-normal sampling via the ``truncation`` argument.
 
@@ -24,8 +27,11 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+import functools
+
 from ..models.layers import conv2d, dense
 from ..ops.pallas.nonlocal_attention import auto_nonlocal_attention
+from ..ops.pooling import max_pool
 
 
 def _upsample2x(x):
@@ -66,7 +72,9 @@ class GBlock(nn.Module):
         h = CondBatchNorm(self.out_ch, dtype=self.dtype, name='bn2')(h, cond, train)
         h = jax.nn.relu(h)
         h = conv2d(self.out_ch, 3, padding=1, name='conv2', dtype=self.dtype)(h)
-        if x.shape[-1] != self.out_ch:
+        # published learnable_sc rule: a 1x1 skip conv whenever the block
+        # upsamples OR changes width (ajbrock BigGAN GBlock)
+        if self.upsample or x.shape[-1] != self.out_ch:
             x = conv2d(self.out_ch, 1, name='conv_sc', dtype=self.dtype)(x)
         return h + x
 
@@ -80,12 +88,16 @@ class SelfAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         theta = conv2d(c // 8, 1, bias=False, name='theta', dtype=self.dtype)(x)
-        phi = conv2d(c // 8, 1, bias=False, name='phi', dtype=self.dtype)(x)
-        g = conv2d(c // 2, 1, bias=False, name='g', dtype=self.dtype)(x)
+        # SAGAN pools phi/g 2x2: attention reads N/4 keys (the kernel
+        # supports rectangular q vs k/v)
+        phi = max_pool(conv2d(c // 8, 1, bias=False, name='phi',
+                              dtype=self.dtype)(x), 2, 2)
+        g = max_pool(conv2d(c // 2, 1, bias=False, name='g',
+                            dtype=self.dtype)(x), 2, 2)
         n = h * w
         y = auto_nonlocal_attention(theta.reshape(b, n, -1),
-                                    phi.reshape(b, n, -1),
-                                    g.reshape(b, n, -1))
+                                    phi.reshape(b, phi.shape[1] * phi.shape[2], -1),
+                                    g.reshape(b, g.shape[1] * g.shape[2], -1))
         y = y.reshape(b, h, w, c // 2)
         o = conv2d(c, 1, bias=False, name='o', dtype=self.dtype)(y)
         gamma = self.param('gamma', nn.initializers.zeros, ())
@@ -97,7 +109,7 @@ class BigGAN(nn.Module):
 
     resolution: int = 256
     ch: int = 96
-    dim_z: int = 120
+    dim_z: int = 0          # 0 = published layout: 20 dims per z chunk
     shared_dim: int = 128
     num_classes: int = 1000
     attn_res: int = 64
@@ -111,11 +123,17 @@ class BigGAN(nn.Module):
             return (16, 16, 8, 4, 2)
         raise ValueError(self.resolution)
 
+    @property
+    def latent_dim(self) -> int:
+        # one chunk for the first linear + one per block, 20 dims each
+        # (published: 120 at 128px, 140 at 256px)
+        return self.dim_z or 20 * (len(self.arch) + 1)
+
     @nn.compact
     def __call__(self, z, labels, train: bool = False):
         blocks = list(self.arch)
         n_chunks = len(blocks) + 1
-        chunk = self.dim_z // n_chunks
+        chunk = self.latent_dim // n_chunks
         zs = [z[:, i * chunk:(i + 1) * chunk] for i in range(n_chunks)]
         shared = nn.Embed(self.num_classes, self.shared_dim,
                           name='shared_embedding')(labels)
@@ -139,9 +157,10 @@ class BigGAN(nn.Module):
 
 def _build(resolution, ch, num_classes, seed=0):
     module = BigGAN(resolution=resolution, ch=ch, num_classes=num_classes)
-    z = jnp.zeros((1, module.dim_z))
+    z = jnp.zeros((1, module.latent_dim))
     y = jnp.zeros((1,), jnp.int32)
-    variables = module.init(jax.random.key(seed), z, y)
+    # jit the init so XLA DCEs the forward (CLAUDE.md: don't eager-init)
+    variables = jax.jit(module.init)(jax.random.key(seed), z, y)
     return module, variables
 
 
@@ -161,10 +180,12 @@ def sample(module, variables, rng, labels, truncation: float = 1.0):
     Returns images in [-1, 1], channels-last (B, res, res, 3)."""
     n = labels.shape[0]
     z = jax.random.truncated_normal(rng, -2.0, 2.0,
-                                    (n, module.dim_z)) * truncation
+                                    (n, module.latent_dim)) * truncation
+    return _generate(module, variables, z, jnp.asarray(labels))
 
-    @jax.jit
-    def gen(variables, z, labels):
-        return module.apply(variables, z, labels)
 
-    return gen(variables, z, jnp.asarray(labels))
+@functools.partial(jax.jit, static_argnums=0)
+def _generate(module, variables, z, labels):
+    # module is a hashable static arg, so repeated sample() calls hit one
+    # compile cache instead of re-jitting per call
+    return module.apply(variables, z, labels)
