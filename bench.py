@@ -1,18 +1,32 @@
 #!/usr/bin/env python
-"""Benchmarks on one TPU chip. Prints ONE JSON line whose top-level keys are
-the headline metric ({"metric", "value", "unit", "vs_baseline"}) plus
-"rows" (the full suite) and "mfu" (roofline note for the headline).
+"""Benchmarks on one TPU chip.
 
-Rows (VERDICT r1 #4):
-  1. resnet3d50 16f 224px bf16 b128 s2d inference   (headline, + MFU)
-  2. resnet50 2D 224px bf16 b128 inference
-  3. nonlocalresnet3d50 16f 224px — Pallas blockwise attention engaged
-     (layer2 N = 16*28*28 = 12544 >= PALLAS_MIN_N)
-  4. 10-clip consensus eval step (multi_clip_eval_step math)
-  5. fused uint8 decode->preprocess->forward device pipeline
-  6. nonlocal attention kernel fwd+bwd, N=8192 (blockwise backward)
-  7. SGD training step (fwd+bwd+update, donated buffers, bf16 compute)
-  8. SlowFast-R50 dual-pathway inference, 64-frame clips
+Prints a full JSON result line to stdout (flushed) **after every completed
+row** — each line is a superset of the previous one, so a driver that parses
+the *last* parseable stdout line always gets the headline metric plus every
+row finished so far, even if the process is killed mid-suite (round 2 lost
+all perf evidence to exactly that: a 489s cold tunnel + per-row compiles hit
+the driver timeout before the single end-of-run print).
+
+Top-level keys: the headline metric ({"metric", "value", "unit",
+"vs_baseline"}) plus "rows" (rows finished so far), "mfu"/"roofline" for the
+headline, and "notes" (rows skipped by the time budget or failed, if any).
+A row that raises is recorded in "notes" and the suite continues.
+
+Rows, ordered so the most important land inside the time budget first:
+  1. resnet3d50 16f 224px bf16 b128 s2d inference    (headline, + MFU)
+  2. SGD training step (fwd+bwd+update, donated buffers, bf16 compute, + MFU)
+  3. resnet50 2D 224px bf16 b128 inference
+  4. SlowFast-R50 dual-pathway inference, 64-frame clips (+ MFU)
+  5. R(2+1)D-50 16f 112px inference (BASELINE config 4 family, + MFU)
+  6. nonlocalresnet3d50 32f 224px — Pallas blockwise attention engaged
+  7. 10-clip consensus eval step (multi_clip_eval_step math)
+  8. fused uint8 decode->preprocess->forward device pipeline
+  9. nonlocal attention kernel fwd+bwd, N=8192 (blockwise backward)
+
+``BENCH_TIME_BUDGET`` (seconds, default 1140) bounds the whole run: once the
+budget is spent, remaining rows are skipped with a note. The headline row
+always runs (it is first and its result is printed the moment it exists).
 
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
 is measured against VS_BASELINE_CLIPS_PER_SEC — a documented estimate of the
@@ -21,11 +35,12 @@ mode): ~100 clips/s for this model/clip size. North-star >= 10x.
 
 Measurement notes (this sandbox): the axon TPU tunnel has a ~15min cold
 device->host path and an unreliable block_until_ready, so every timed loop
-(rows 1-6) runs *inside* one jit via lax.scan (sequential by carry
-dependency) and completion is forced with jax.device_get of a scalar
-checksum. Row 7 instead chains donated jitted steps from Python — a scan
-would discard buffer donation and OOM at b128 (see the row comment) — with
-completion forced the same way through the steps' data dependencies.
+runs *inside* one jit via lax.scan (sequential by carry dependency) and
+completion is forced with jax.device_get of a scalar checksum. The train row
+instead chains donated jitted steps from Python — a scan would discard
+buffer donation (inner-jit donation is ignored under tracing) and OOM at
+b128 — with completion forced the same way through the steps' data
+dependencies.
 """
 
 import dataclasses
@@ -45,6 +60,24 @@ FRAMES = int(os.environ.get('BENCH_FRAMES', '16'))
 SIZE = int(os.environ.get('BENCH_SIZE', '224'))
 ITERS = int(os.environ.get('BENCH_ITERS', '20'))
 ONLY = os.environ.get('BENCH_ONLY', '')       # comma list of row names
+TIME_BUDGET = float(os.environ.get('BENCH_TIME_BUDGET', '1140'))
+
+_T_START = time.monotonic()
+
+
+def _elapsed():
+    return time.monotonic() - _T_START
+
+
+def _is_oom(e: Exception) -> bool:
+    """True only for allocation failures; anything else must propagate.
+
+    Matching on the message (RESOURCE_EXHAUSTED / out of memory) rather than
+    bare Exception means a shape or dtype bug fails the row loudly instead of
+    silently degrading into a half-batch result (ADVICE r2)."""
+    msg = str(e)
+    return ('RESOURCE_EXHAUSTED' in msg or 'Resource exhausted' in msg
+            or 'out of memory' in msg.lower())
 
 
 def main():
@@ -61,6 +94,31 @@ def main():
           file=sys.stderr)
 
     rows = []
+    notes = []
+    state = {'headline': None}
+
+    def emit():
+        """Print the full result JSON line now (superset of prior prints)."""
+        headline = state['headline']
+        if headline is None:
+            headline = dict(rows[0]) if rows else {
+                'metric': 'no rows completed', 'value': 0, 'unit': ''}
+        out = {k: headline[k] for k in ('metric', 'value', 'unit')
+               if k in headline}
+        if 'vs_baseline' in headline:
+            out['vs_baseline'] = headline['vs_baseline']
+        out['rows'] = rows
+        hrow = rows[0] if rows and 'mfu' in rows[0] else {}
+        if hrow and state['headline'] is not None:
+            out['mfu'] = hrow['mfu']
+            out['roofline'] = (
+                f"{hrow['gflops_per_clip']} GF/clip x {headline['value']}"
+                f" clips/s = "
+                f"{hrow['gflops_per_clip'] * headline['value'] / 1000:.1f}"
+                f" TFLOP/s vs ~197 TFLOP/s v5e bf16 peak")
+        if notes:
+            out['notes'] = notes
+        print(json.dumps(out), flush=True)
 
     def timed_scan(apply_fn, x, iters, tag):
         """sec/iter of apply_fn(x) with OOM batch-halving; returns
@@ -84,24 +142,31 @@ def main():
                 print(f'# {tag} b{batch} compile+first: '
                       f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
                 break
-            except Exception as e:  # noqa: BLE001 — OOM insurance
-                if batch <= 2:
+            except Exception as e:
+                if not _is_oom(e) or batch <= 2:
                     raise
-                print(f'# {tag} b{batch} failed ({type(e).__name__}); '
-                      f'retrying b{batch // 2}', file=sys.stderr)
+                print(f'# {tag} b{batch} OOM; retrying b{batch // 2}',
+                      file=sys.stderr)
                 batch //= 2
         t0 = time.perf_counter()
         jax.device_get(many(xb))
         return (time.perf_counter() - t0) / iters, batch
 
-    def want(name):
-        return not ONLY or name in ONLY.split(',')
+    def cost_flops(jitted, *args):
+        """Total FLOPs of one call per XLA cost analysis (0.0 on failure)."""
+        try:
+            ca = jitted.lower(*args).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca.get('flops', 0.0))
+        except Exception as e:
+            print(f'# cost_analysis failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+            return 0.0
 
     rng = np.random.RandomState(0)
 
     # ------------------------------------------------ 1. resnet3d50 headline
-    headline = None
-    if want('resnet3d50'):
+    def row_resnet3d50():
         model = pretorched.resnet3d50(num_classes=400, pretrained=None)
         model.bfloat16()
         # exact space-to-depth stem folding: +5% on v5e, bit-identical outputs
@@ -110,48 +175,157 @@ def main():
         clip = jnp.asarray(rng.rand(BATCH, FRAMES, SIZE, SIZE, 3),
                            jnp.bfloat16)
 
-        def fwd(c, variables=variables, module=module):
-            out = module.apply(variables, c)
-            return out[0, 0]
+        def fwd(c):
+            return module.apply(variables, c)[0, 0]
 
         dt, b = timed_scan(fwd, clip, ITERS, 'resnet3d50')
         clips_s = b / dt
         # roofline: XLA cost analysis of one forward
         fwd1 = jax.jit(lambda v, c: module.apply(v, c))
-        ca = fwd1.lower(variables, clip[:b]).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops_fwd = float(ca.get('flops', 0.0))
+        flops_fwd = cost_flops(fwd1, variables, clip[:b])
         gf_per_clip = flops_fwd / b / 1e9
         mfu = flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS
-        headline = {
+        state['headline'] = {
             'metric': f'resnet3d50 {FRAMES}f{SIZE}px bf16 clips/sec/chip',
             'value': round(clips_s, 2),
             'unit': 'clips/s',
             'vs_baseline': round(clips_s / VS_BASELINE_CLIPS_PER_SEC, 3),
         }
-        rows.append(dict(headline, batch=b,
+        rows.append(dict(state['headline'], batch=b,
                          gflops_per_clip=round(gf_per_clip, 1),
                          mfu=round(mfu, 3)))
-        del model, module, variables, clip, fwd, fwd1
-        gc.collect()
 
-    # ------------------------------------------------ 2. resnet50 2D
-    if want('resnet50'):
+    # --------------------------------- 2. resnet3d50 training step (SGD)
+    def row_train():
+        import optax
+
+        from pretorched_tpu.parallel import make_train_step
+        model = pretorched.resnet3d50(num_classes=400, pretrained=None)
+        module = dataclasses.replace(model.module, dtype=jnp.bfloat16,
+                                     s2d_stem=True)
+        variables = model.variables
+        tx = optax.sgd(0.1, momentum=0.9)
+        step = make_train_step(module, tx)
+        iters = max(ITERS // 2, 5)
+        # v5e sweep (ROUND_NOTES r2): b64 177, b128 226.8 clips/s, b192 OOM;
+        # the halve-batch fallback below covers OOM if other rows hold HBM.
+        batch = int(os.environ.get('BENCH_TRAIN_BATCH', min(BATCH, 128)))
+
+        # Unlike the scan rows this row deliberately times a Python loop of
+        # jitted steps: wrapping the step in a scan discards buffer donation
+        # (inner-jit donation is ignored under tracing), and the lost
+        # aliasing pushes b128 out of HBM — measured on v5e: scan form b128
+        # OOM / b64 177.6 clips/s vs donated loop b128 226.8. Completion is
+        # still forced through the tunnel: each step consumes the previous
+        # step's outputs, so device_get of the last loss chains the sequence.
+        p = bs = os_ = clip = labels = m = None
+        while True:
+            try:
+                # fresh device copies each attempt: the step donates buffers
+                p = jax.tree_util.tree_map(jnp.copy, variables['params'])
+                bs = jax.tree_util.tree_map(jnp.copy,
+                                            variables['batch_stats'])
+                os_ = tx.init(p)
+                clip = jnp.asarray(rng.rand(batch, FRAMES, SIZE, SIZE, 3),
+                                   jnp.float32)
+                labels = jnp.asarray(np.arange(batch) % 400)
+                flops_step = cost_flops(step, p, bs, os_, clip, labels, 0)
+                t0 = time.perf_counter()
+                p, bs, os_, m = step(p, bs, os_, clip, labels, 0)
+                jax.device_get(m['loss'])
+                print(f'# train b{batch} compile+first: '
+                      f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
+                t0 = time.perf_counter()
+                for i in range(1, iters + 1):
+                    p, bs, os_, m = step(p, bs, os_, clip, labels, i)
+                loss = float(jax.device_get(m['loss']))   # chains all steps
+                dt = (time.perf_counter() - t0) / iters
+                break
+            except Exception as e:
+                if not _is_oom(e) or batch <= 2:
+                    raise
+                print(f'# train b{batch} OOM; retrying b{batch // 2}',
+                      file=sys.stderr)
+                batch //= 2
+                # drop any half-built device state before the retry copies
+                p = bs = os_ = clip = labels = m = None
+                gc.collect()
+        assert np.isfinite(loss), loss
+        clips_s = batch / dt
+        rows.append({
+            'metric': (f'resnet3d50 {FRAMES}f{SIZE}px bf16-compute SGD train '
+                       f'step clips/sec/chip (donated buffers)'),
+            'value': round(clips_s, 2), 'unit': 'clips/s', 'batch': batch,
+            'gflops_per_clip': round(flops_step / batch / 1e9, 1),
+            'mfu': round(flops_step / batch * clips_s / V5E_BF16_PEAK_FLOPS,
+                         3)})
+
+    # ------------------------------------------------ 3. resnet50 2D
+    def row_resnet50():
         m2 = pretorched.resnet50(num_classes=1000, pretrained=None)
         m2.bfloat16()
         img = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3), jnp.bfloat16)
 
-        def fwd2(x, m2=m2):
+        def fwd2(x):
             return m2.apply(m2.variables, x)[0, 0]
 
         dt, b = timed_scan(fwd2, img, ITERS, 'resnet50-2d')
         rows.append({'metric': f'resnet50 2D {SIZE}px bf16 img/sec/chip',
                      'value': round(b / dt, 1), 'unit': 'img/s', 'batch': b})
-        del m2, img, fwd2
-        gc.collect()
 
-    # ---------------------------- 3. nonlocal resnet3d50 (Pallas engaged)
-    if want('nonlocal'):
+    # --------------------------------- 4. SlowFast dual-pathway inference
+    def row_slowfast():
+        sf = pretorched.slowfast_resnet50(num_classes=400, pretrained=None)
+        sf.bfloat16()
+        # SlowFast consumes the full 64-frame clip and strides internally
+        # (slow /16, fast /2 — reference slowfast.py:390-395)
+        sf_frames = max(FRAMES, 64)
+        # v5e sweep: b16 227, b32 338, b64 518, b128 717.8 clips/s, b256 OOM
+        sf_batch = int(os.environ.get('BENCH_SF_BATCH', min(BATCH, 128)))
+        clip = jnp.asarray(rng.rand(sf_batch, sf_frames, SIZE, SIZE, 3),
+                           jnp.bfloat16)
+
+        def fwds(c):
+            return sf.apply(sf.variables, c)[0, 0]
+
+        dt, b = timed_scan(fwds, clip, max(ITERS // 2, 5), 'slowfast50')
+        clips_s = b / dt
+        fwd1 = jax.jit(lambda v, c: sf.module.apply(v, c))
+        flops_fwd = cost_flops(fwd1, sf.variables, clip[:b])
+        rows.append({
+            'metric': (f'slowfast_resnet50 {sf_frames}f{SIZE}px bf16 '
+                       f'clips/sec/chip'),
+            'value': round(clips_s, 2), 'unit': 'clips/s', 'batch': b,
+            'gflops_per_clip': round(flops_fwd / b / 1e9, 1),
+            'mfu': round(flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS, 3)})
+
+    # ------------------------------------ 5. R(2+1)D-50 16f 112px inference
+    def row_r2plus1d():
+        r21 = pretorched.r2plus1d50(num_classes=400, pretrained=None)
+        r21.bfloat16()
+        # R(2+1)D's published protocol is 112px clips (reference
+        # r2plus1d.py:155-173 smoke uses 112); BASELINE config 4 family.
+        r21_size = int(os.environ.get('BENCH_R21_SIZE', '112'))
+        r21_batch = int(os.environ.get('BENCH_R21_BATCH', str(BATCH)))
+        clip = jnp.asarray(rng.rand(r21_batch, FRAMES, r21_size, r21_size, 3),
+                           jnp.bfloat16)
+
+        def fwdr(c):
+            return r21.apply(r21.variables, c)[0, 0]
+
+        dt, b = timed_scan(fwdr, clip, max(ITERS // 2, 5), 'r2plus1d50')
+        clips_s = b / dt
+        fwd1 = jax.jit(lambda v, c: r21.module.apply(v, c))
+        flops_fwd = cost_flops(fwd1, r21.variables, clip[:b])
+        rows.append({
+            'metric': (f'r2plus1d50 {FRAMES}f{r21_size}px bf16 '
+                       f'clips/sec/chip'),
+            'value': round(clips_s, 2), 'unit': 'clips/s', 'batch': b,
+            'gflops_per_clip': round(flops_fwd / b / 1e9, 1),
+            'mfu': round(flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS, 3)})
+
+    # ---------------------------- 6. nonlocal resnet3d50 (Pallas engaged)
+    def row_nonlocal():
         nl = pretorched.nonlocalresnet3d50(num_classes=400, pretrained=None)
         nl.bfloat16()
         # 32-frame clips: layer2 runs at T=8, 28px -> N = 8*28*28 = 6272
@@ -161,7 +335,7 @@ def main():
         clip = jnp.asarray(rng.rand(8, nl_frames, SIZE, SIZE, 3),
                            jnp.bfloat16)
 
-        def fwdn(c, nl=nl):
+        def fwdn(c):
             return nl.apply(nl.variables, c)[0, 0]
 
         dt, b = timed_scan(fwdn, clip, max(ITERS // 2, 5), 'nonlocal3d50')
@@ -169,11 +343,9 @@ def main():
             'metric': (f'nonlocalresnet3d50 {nl_frames}f{SIZE}px bf16 '
                        f'clips/sec/chip (Pallas blockwise, layer2 N=6272)'),
             'value': round(b / dt, 2), 'unit': 'clips/s', 'batch': b})
-        del nl, clip, fwdn
-        gc.collect()
 
-    # ---------------------------------------- 4. 10-clip consensus eval
-    if want('multiclip'):
+    # ---------------------------------------- 7. 10-clip consensus eval
+    def row_multiclip():
         model = pretorched.resnet3d50(num_classes=400, pretrained=None)
         model.bfloat16()
         module, variables = model.module, model.variables
@@ -181,7 +353,7 @@ def main():
         vids = jnp.asarray(rng.rand(12, nclips, FRAMES, SIZE, SIZE, 3),
                            jnp.bfloat16)
 
-        def consensus(c, module=module, variables=variables):
+        def consensus(c):
             b, n = c.shape[:2]
             flat = c.reshape((b * n,) + c.shape[2:])
             logits = module.apply(variables, flat).astype(jnp.float32)
@@ -194,11 +366,9 @@ def main():
                        f'bf16 videos/sec/chip'),
             'value': round(b / dt, 2), 'unit': 'videos/s', 'batch': b,
             'clips_per_sec': round(b * nclips / dt, 1)})
-        del model, module, variables, vids, consensus
-        gc.collect()
 
-    # --------------------------- 5. fused preprocess -> forward pipeline
-    if want('pipeline'):
+    # --------------------------- 8. fused preprocess -> forward pipeline
+    def row_pipeline():
         from pretorched_tpu.transforms.fused import _fused, _settings_tuple
         model = pretorched.resnet3d50(num_classes=400, pretrained=None)
         model.bfloat16()
@@ -211,7 +381,7 @@ def main():
             'input_range': [0, 1], 'mean': [0.485, 0.456, 0.406],
             'std': [0.229, 0.224, 0.225]})
 
-        def pipe(u8, module=module, variables=variables, spec=spec):
+        def pipe(u8):
             b, t = u8.shape[:2]
             frames = u8.reshape((b * t,) + u8.shape[2:])
             x = _fused(frames, spec)                     # resize/crop/norm
@@ -219,6 +389,7 @@ def main():
             return module.apply(variables, x)[0, 0]
 
         pbatch = min(BATCH, 128)
+        iters = max(ITERS // 2, 5)
         while True:
             raw = jnp.asarray(
                 rng.randint(0, 255, (pbatch, FRAMES, 256, 256, 3)), jnp.uint8)
@@ -231,7 +402,7 @@ def main():
                     out = pipe(u8 + carry)
                     return (out * 0).astype(jnp.uint8), out
                 _, outs = jax.lax.scan(body, jnp.uint8(0), None,
-                                       length=max(ITERS // 2, 5))
+                                       length=iters)
                 return jnp.sum(outs.astype(jnp.float32))
 
             try:
@@ -240,27 +411,25 @@ def main():
                 print(f'# pipeline b{pbatch} compile+first: '
                       f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
                 break
-            except Exception as e:  # noqa: BLE001 — OOM insurance
-                if pbatch <= 2:
+            except Exception as e:
+                if not _is_oom(e) or pbatch <= 2:
                     raise
-                print(f'# pipeline b{pbatch} failed ({type(e).__name__}); '
-                      f'retrying b{pbatch // 2}', file=sys.stderr)
+                print(f'# pipeline b{pbatch} OOM; retrying b{pbatch // 2}',
+                      file=sys.stderr)
                 pbatch //= 2
                 raw = many = None
                 gc.collect()
         t0 = time.perf_counter()
         jax.device_get(many(raw))
-        dt = (time.perf_counter() - t0) / max(ITERS // 2, 5)
+        dt = (time.perf_counter() - t0) / iters
         rows.append({
             'metric': (f'fused uint8 256px->preprocess->{SIZE}px forward '
                        f'{FRAMES}f device pipeline clips/sec/chip (s2d stem)'),
             'value': round(pbatch / dt, 2), 'unit': 'clips/s',
             'batch': pbatch})
-        del model, module, variables, raw, pipe, many
-        gc.collect()
 
-    # ------------------------------- 6. nonlocal attention kernel fwd+bwd
-    if want('attn'):
+    # ------------------------------- 9. nonlocal attention kernel fwd+bwd
+    def row_attn():
         from pretorched_tpu.ops.pallas.nonlocal_attention import (
             _nonlocal_attention_ad)
         n, c = 8192, 64
@@ -292,105 +461,38 @@ def main():
             'metric': (f'nonlocal attention fwd+bwd blockwise kernel '
                        f'N={n} C={c} f32 ms/iter'),
             'value': round(dt * 1000, 2), 'unit': 'ms'})
-        del q, k, v, gfn, many
+
+    suite = [
+        ('resnet3d50', row_resnet3d50),
+        ('train', row_train),
+        ('resnet50', row_resnet50),
+        ('slowfast', row_slowfast),
+        ('r2plus1d', row_r2plus1d),
+        ('nonlocal', row_nonlocal),
+        ('multiclip', row_multiclip),
+        ('pipeline', row_pipeline),
+        ('attn', row_attn),
+    ]
+    for i, (name, fn) in enumerate(suite):
+        if ONLY and name not in ONLY.split(','):
+            continue
+        # the headline row always runs; later rows respect the budget
+        if i > 0 and _elapsed() > TIME_BUDGET:
+            notes.append(f'{name}: skipped, time budget '
+                         f'({TIME_BUDGET:.0f}s) spent at {_elapsed():.0f}s')
+            print(f'# {notes[-1]}', file=sys.stderr)
+            emit()
+            continue
+        try:
+            fn()
+        except Exception as e:
+            notes.append(f'{name}: FAILED {type(e).__name__}: '
+                         + str(e).splitlines()[0][:200])
+            print(f'# {notes[-1]}', file=sys.stderr)
+        emit()
         gc.collect()
 
-    # --------------------------------- 7. resnet3d50 training step (SGD)
-    if want('train'):
-        import optax
-
-        from pretorched_tpu.parallel import make_train_step
-        model = pretorched.resnet3d50(num_classes=400, pretrained=None)
-        module = dataclasses.replace(model.module, dtype=jnp.bfloat16,
-                                     s2d_stem=True)
-        variables = model.variables
-        tx = optax.sgd(0.1, momentum=0.9)
-        step = make_train_step(module, tx)
-        iters = max(ITERS // 2, 5)
-        # v5e sweep (ROUND_NOTES r2): b64 177, b128 226.8 clips/s, b192 OOM;
-        # the halve-batch fallback below covers OOM if other rows hold HBM.
-        batch = int(os.environ.get('BENCH_TRAIN_BATCH', min(BATCH, 128)))
-
-        # Unlike rows 1-6 this row deliberately times a Python loop of jitted
-        # steps rather than one lax.scan: wrapping the step in a scan discards
-        # buffer donation (inner-jit donation is ignored under tracing), and
-        # the lost aliasing pushes b128 out of HBM — measured on v5e: scan
-        # form b128 OOM / b64 177.6 clips/s vs donated loop b128 226.8.
-        # Completion is still forced through the tunnel: each step consumes
-        # the previous step's outputs, so device_get of the last loss chains
-        # the whole sequence.
-        while True:
-            try:
-                # fresh device copies each attempt: the step donates buffers
-                p = jax.tree_util.tree_map(jnp.copy, variables['params'])
-                bs = jax.tree_util.tree_map(jnp.copy,
-                                            variables['batch_stats'])
-                os_ = tx.init(p)
-                clip = jnp.asarray(rng.rand(batch, FRAMES, SIZE, SIZE, 3),
-                                   jnp.float32)
-                labels = jnp.asarray(np.arange(batch) % 400)
-                t0 = time.perf_counter()
-                p, bs, os_, m = step(p, bs, os_, clip, labels, 0)
-                jax.device_get(m['loss'])
-                print(f'# train b{batch} compile+first: '
-                      f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
-                t0 = time.perf_counter()
-                for i in range(1, iters + 1):
-                    p, bs, os_, m = step(p, bs, os_, clip, labels, i)
-                loss = float(jax.device_get(m['loss']))   # chains all steps
-                dt = (time.perf_counter() - t0) / iters
-                break
-            except Exception as e:  # noqa: BLE001 — OOM insurance
-                if batch <= 2:
-                    raise
-                print(f'# train b{batch} failed ({type(e).__name__}); '
-                      f'retrying b{batch // 2}', file=sys.stderr)
-                batch //= 2
-                # drop any half-built device state before the retry copies
-                p = bs = os_ = clip = labels = m = None
-                gc.collect()
-        assert np.isfinite(loss), loss
-        rows.append({
-            'metric': (f'resnet3d50 {FRAMES}f{SIZE}px bf16-compute SGD train '
-                       f'step clips/sec/chip (donated buffers)'),
-            'value': round(batch / dt, 2), 'unit': 'clips/s', 'batch': batch})
-        del model, module, variables, step, p, bs, os_, clip, labels, m
-        gc.collect()
-
-    # --------------------------------- 8. SlowFast dual-pathway inference
-    if want('slowfast'):
-        sf = pretorched.slowfast_resnet50(num_classes=400, pretrained=None)
-        sf.bfloat16()
-        # SlowFast consumes the full 64-frame clip and strides internally
-        # (slow /16, fast /2 — reference slowfast.py:390-395)
-        sf_frames = max(FRAMES, 64)
-        # v5e sweep: b16 227, b32 338, b64 518, b128 717.8 clips/s, b256 OOM
-        sf_batch = int(os.environ.get('BENCH_SF_BATCH', min(BATCH, 128)))
-        clip = jnp.asarray(rng.rand(sf_batch, sf_frames, SIZE, SIZE, 3),
-                           jnp.bfloat16)
-
-        def fwds(c, sf=sf):
-            return sf.apply(sf.variables, c)[0, 0]
-
-        dt, b = timed_scan(fwds, clip, max(ITERS // 2, 5), 'slowfast50')
-        rows.append({
-            'metric': (f'slowfast_resnet50 {sf_frames}f{SIZE}px bf16 '
-                       f'clips/sec/chip'),
-            'value': round(b / dt, 2), 'unit': 'clips/s', 'batch': b})
-
-    if headline is None:
-        headline = dict(rows[0]) if rows else {
-            'metric': 'no rows selected', 'value': 0, 'unit': '', }
-    out = dict(headline)
-    out['rows'] = rows
-    hrow = rows[0] if rows and 'mfu' in rows[0] else {}
-    if hrow:
-        out['mfu'] = hrow['mfu']
-        out['roofline'] = (
-            f"{hrow['gflops_per_clip']} GF/clip x {headline['value']} clips/s"
-            f" = {hrow['gflops_per_clip'] * headline['value'] / 1000:.1f}"
-            f" TFLOP/s vs ~197 TFLOP/s v5e bf16 peak")
-    print(json.dumps(out))
+    emit()
 
 
 if __name__ == '__main__':

@@ -189,6 +189,11 @@ def main():
     params = model.variables['params']
     batch_stats = model.variables.get('batch_stats')
     opt_state = tx.init(params)
+    # train_step donates its params/batch_stats/opt_state inputs (see
+    # make_train_step); drop model's reference to those same arrays now so
+    # nothing aliases deleted buffers during the first epoch — validate()
+    # only runs after the end-of-epoch reassignment below.
+    model.variables = {}
 
     step_idx = args.start_epoch * steps_per_epoch
     for epoch in range(args.start_epoch, args.epochs):

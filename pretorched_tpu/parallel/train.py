@@ -25,9 +25,20 @@ def cross_entropy(logits, labels):
 
 def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
                     has_batch_stats: bool = True,
-                    dropout_seed: int = 0, remat: bool = False) -> Callable:
+                    dropout_seed: int = 0, remat: bool = False,
+                    donate: bool = True) -> Callable:
     """Returns step(params, batch_stats, opt_state, x, labels, step_idx) ->
     (params, batch_stats, opt_state, metrics).
+
+    **Donation contract** (``donate=True``, the default): the
+    params/batch_stats/opt_state *input buffers are donated to XLA* — the
+    optimizer update runs in place instead of double-buffering ~3x the param
+    bytes in HBM. After the first call, any other reference to the passed
+    arrays (e.g. a ``model.variables`` dict the trees were pulled from) points
+    at deleted device buffers on TPU; rebind such references to the returned
+    trees *before* stepping, or pass ``donate=False`` to keep inputs alive
+    (CPU tests ignore donation either way, so only real backends surface
+    misuse — as a "donated buffer" error, never silent corruption).
 
     ``remat=True`` rematerializes per residual block when the module supports
     it (a ``remat`` field, e.g. VideoResNet): backprop stores only block
@@ -68,14 +79,12 @@ def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
         top1 = jnp.mean(jnp.argmax(logits, axis=1) == labels)
         return params, new_stats, opt_state, {'loss': loss, 'top1': top1}
 
-    # params/batch_stats/opt_state are returned updated every step, so their
-    # input buffers are donated: the optimizer update runs in place instead of
-    # double-buffering ~3x the param bytes in HBM.
+    donate_argnums = (0, 1, 2) if donate else ()
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1, 2))
+        return jax.jit(step, donate_argnums=donate_argnums)
     bsh = batch_sharding(mesh)
     return jax.jit(step, in_shardings=(None, None, None, bsh, bsh, None),
-                   donate_argnums=(0, 1, 2))
+                   donate_argnums=donate_argnums)
 
 
 def finetune_mask(params, trainable_prefixes):

@@ -26,13 +26,18 @@ def save_checkpoint(path: str, state: Dict[str, Any],
     except Exception:
         from flax import serialization
 
-        # a failed Orbax save can leave a partial directory which
-        # load_checkpoint would prefer over the msgpack fallback — remove it
+        # Write the msgpack fallback durably FIRST (temp file + atomic
+        # rename), and only then remove any partial/stale Orbax directory
+        # (which load_checkpoint would prefer over the msgpack). Ordering
+        # matters: if the fallback write itself fails or is interrupted, the
+        # last good checkpoint — whichever format — is still on disk.
+        fname = path if path.endswith('.msgpack') else path + '.msgpack'
+        tmp = fname + '.tmp'
+        with open(tmp, 'wb') as f:
+            f.write(serialization.to_bytes(state))
+        os.replace(tmp, fname)
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
-        with open(path if path.endswith('.msgpack') else path + '.msgpack',
-                  'wb') as f:
-            f.write(serialization.to_bytes(state))
     if is_best:
         dst = os.path.join(os.path.dirname(os.path.abspath(path)) or '.',
                            best_name)

@@ -45,17 +45,30 @@ def test_two_process_distributed_eval():
     import subprocess
     import sys
 
+    import socket
+
     worker = os.path.join(os.path.dirname(__file__), 'dist_eval_worker.py')
-    port = str(15000 + os.getpid() % 10000)
+    # ephemeral port: bind port 0 to get a free one, then release it for the
+    # coordinator (a fixed 15000+pid%10000 could collide with an in-use port)
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        port = str(s.getsockname()[1])
     env = dict(os.environ)
     procs = [subprocess.Popen([sys.executable, worker, str(pid), port],
                               env=env, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
              for pid in (0, 1)]
     outs = []
-    for p_ in procs:
-        out, _ = p_.communicate(timeout=300)
-        outs.append(out)
+    try:
+        for p_ in procs:
+            out, _ = p_.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        # on a communicate() timeout the sibling worker would otherwise leak
+        for p_ in procs:
+            if p_.poll() is None:
+                p_.kill()
+                p_.wait()
     for pid, (p_, out) in enumerate(zip(procs, outs)):
         assert p_.returncode == 0, f'worker {pid} failed:\n{out[-3000:]}'
         assert f'DIST-EVAL-OK proc={pid}' in out, out[-3000:]
