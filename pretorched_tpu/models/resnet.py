@@ -61,6 +61,9 @@ class ResNet(nn.Module):
     stem_pool: str = 'pad'          # 'ceil' = caffe 3x3/2 pad0 ceil_mode pool
     logits_pool: str = 'global'     # 'avg7' = fixed AvgPool2d(7) head
     inner_width_mult: float = 1.0   # WideResNet: widen bottleneck 3x3 widths only
+    no_bn: bool = False             # BN-free net (functional-zoo WRN-50-2 hkl
+                                    # export: BN folded into conv biases,
+                                    # reference wideresnet.py:15-53)
     s2d_stem: bool = False          # fold the 7x7/2 stem via space-to-depth
     remat: bool = False             # checkpoint each residual block
     dtype: Any = None
@@ -69,21 +72,25 @@ class ResNet(nn.Module):
     def expansion(self) -> int:
         return 1 if self.block == 'basic' else 4
 
+    def _bn(self, x, name, train):
+        if self.no_bn:
+            return x
+        return batch_norm(train=train, name=name, dtype=self.dtype)(x)
+
     def _basic(self, x, planes, stride, downsample, prefix, train):
         identity = x
         bias = self.conv_bias
         out = conv2d(planes, 3, stride=stride, padding=1, bias=bias,
                      name=f'{prefix}.conv1', dtype=self.dtype)(x)
-        out = batch_norm(train=train, name=f'{prefix}.bn1', dtype=self.dtype)(out)
+        out = self._bn(out, f'{prefix}.bn1', train)
         out = relu(out)
         out = conv2d(planes, 3, padding=1, bias=bias,
                      name=f'{prefix}.conv2', dtype=self.dtype)(out)
-        out = batch_norm(train=train, name=f'{prefix}.bn2', dtype=self.dtype)(out)
+        out = self._bn(out, f'{prefix}.bn2', train)
         if downsample:
             identity = conv2d(planes, 1, stride=stride, bias=bias,
                               name=f'{prefix}.downsample.0', dtype=self.dtype)(x)
-            identity = batch_norm(train=train, name=f'{prefix}.downsample.1',
-                                  dtype=self.dtype)(identity)
+            identity = self._bn(identity, f'{prefix}.downsample.1', train)
         return relu(out + identity)
 
     def _bottleneck(self, x, planes, stride, downsample, prefix, train):
@@ -93,20 +100,19 @@ class ResNet(nn.Module):
         s1, s2 = (stride, 1) if self.stride_on == 'conv1' else (1, stride)
         out = conv2d(inner, 1, stride=s1, bias=bias, name=f'{prefix}.conv1',
                      dtype=self.dtype)(x)
-        out = batch_norm(train=train, name=f'{prefix}.bn1', dtype=self.dtype)(out)
+        out = self._bn(out, f'{prefix}.bn1', train)
         out = relu(out)
         out = conv2d(inner, 3, stride=s2, padding=1, bias=bias,
                      name=f'{prefix}.conv2', dtype=self.dtype)(out)
-        out = batch_norm(train=train, name=f'{prefix}.bn2', dtype=self.dtype)(out)
+        out = self._bn(out, f'{prefix}.bn2', train)
         out = relu(out)
         out = conv2d(planes * 4, 1, bias=bias, name=f'{prefix}.conv3',
                      dtype=self.dtype)(out)
-        out = batch_norm(train=train, name=f'{prefix}.bn3', dtype=self.dtype)(out)
+        out = self._bn(out, f'{prefix}.bn3', train)
         if downsample:
             identity = conv2d(planes * 4, 1, stride=stride, bias=bias,
                               name=f'{prefix}.downsample.0', dtype=self.dtype)(x)
-            identity = batch_norm(train=train, name=f'{prefix}.downsample.1',
-                                  dtype=self.dtype)(identity)
+            identity = self._bn(identity, f'{prefix}.downsample.1', train)
         return relu(out + identity)
 
     def _block_fn(self):
@@ -130,7 +136,7 @@ class ResNet(nn.Module):
             else:
                 x = conv2d(64, 7, stride=2, padding=3, bias=self.conv_bias,
                            name='conv1', dtype=self.dtype)(x)
-            x = batch_norm(train=train, name='bn1', dtype=self.dtype)(x)
+            x = self._bn(x, 'bn1', train)
             x = relu(x)
             if self.stem_pool == 'ceil':
                 x = max_pool(x, 3, stride=2, padding=0, ceil_mode=True)

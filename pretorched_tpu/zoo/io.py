@@ -48,6 +48,18 @@ def find_torch_checkpoint(url: str) -> Optional[Path]:
 
 
 def load_torch_state_dict(path: Path) -> dict:
+    """Checkpoint file -> {key: numpy array}.
+
+    Formats: torch ``.pth`` (optionally wrapped in {'state_dict': ...},
+    DataParallel ``module.`` prefixes stripped), hickle/HDF5 ``.hkl`` (the
+    reference's hosted WRN-50-2 export, wideresnet.py:70-84), and ``.npz``.
+    """
+    suffix = Path(path).suffix.lower()
+    if suffix in ('.hkl', '.h5', '.hdf5'):
+        return _load_h5_state_dict(path)
+    if suffix == '.npz':
+        with np.load(str(path)) as z:
+            return {k: np.asarray(z[k]) for k in z.files}
     import torch
     obj = torch.load(str(path), map_location='cpu', weights_only=False)
     if isinstance(obj, dict) and 'state_dict' in obj:
@@ -56,6 +68,28 @@ def load_torch_state_dict(path: Path) -> dict:
     for k, v in obj.items():
         k = k[len('module.'):] if k.startswith('module.') else k
         out[k] = v.numpy() if hasattr(v, 'numpy') else np.asarray(v)
+    return out
+
+
+def _load_h5_state_dict(path: Path) -> dict:
+    """Flatten every dataset in an HDF5/hickle file into {key: array}.
+
+    hickle versions differ in layout (datasets at the root named by dict key,
+    or nested under a ``data`` group), so we walk the whole tree and strip
+    the wrapper group names hickle uses."""
+    import h5py
+    out = {}
+
+    def visit(name, obj):
+        if isinstance(obj, h5py.Dataset):
+            key = name
+            for wrapper in ('data/', 'data.'):
+                if key.startswith(wrapper):
+                    key = key[len(wrapper):]
+            out[key.replace('/', '.')] = np.asarray(obj)
+
+    with h5py.File(str(path), 'r') as f:
+        f.visititems(visit)
     return out
 
 

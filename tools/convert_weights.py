@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Offline checkpoint conversion + golden-logit capture.
+"""Offline checkpoint conversion + golden-logit capture + accuracy check.
 
 The systematized version of the reference's porting workflow
 (models/fbresnet/resnet152_load.py: dump -> rebuild -> compare). For every
@@ -8,11 +8,19 @@ The systematized version of the reference's porting workflow
 1. builds the matching model with ``pretrained=<tag>`` (triggering the
    mechanical torch->flax conversion + msgpack caching in zoo/io),
 2. runs data/cat.jpg through the model's own metadata-derived transform,
-3. stores the logits to ``golden/<name>-<tag>.npy`` for regression testing.
+3. stores the logits to ``golden/<name>-<tag>.npy`` for regression testing,
+4. with ``--eval VALDIR``: evaluates ImageNet center-crop accuracy on the
+   folder and prints measured vs published (BASELINE.md, reference
+   README.md:203-282) Acc@1/Acc@5 with PASS/FAIL at |delta| <= --tol.
 
 Usage:
-    python tools/convert_weights.py                  # everything available
+    python tools/convert_weights.py                  # convert everything
     python tools/convert_weights.py resnet50 alexnet # specific models
+    python tools/convert_weights.py --eval /data/imagenet/val \
+        --limit 5000 resnet50                        # accuracy vs baseline
+
+The whole pipeline (fabricated .pth -> convert -> evaluate -> table) is
+CI-proven with a synthetic checkpoint in tests/test_golden_workflow.py.
 """
 
 import argparse
@@ -23,14 +31,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import numpy as np  # noqa: E402
 
+# reference-documented per-model eval protocol deviations (BASELINE.md
+# "Measurement caveats": polynet resizes square 378 -> 331 center crop,
+# README.md:276; xception's 0.8975 scale comes from its own settings)
+EVAL_OVERRIDES = {
+    'polynet': {'preserve_aspect_ratio': False},
+}
 
-def main():
+
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument('models', nargs='*', help='model names (default: all)')
     ap.add_argument('--golden-dir', default='golden')
     ap.add_argument('--image', default='data/cat.jpg')
     ap.add_argument('--cpu', action='store_true')
-    args = ap.parse_args()
+    ap.add_argument('--eval', dest='valdir', default=None, metavar='VALDIR',
+                    help='ImageNet val folder: evaluate each converted model '
+                         'and compare to BASELINE.md')
+    ap.add_argument('--limit', type=int, default=None,
+                    help='eval at most N images (subset runs)')
+    ap.add_argument('-b', '--batch-size', type=int, default=64)
+    ap.add_argument('--tol', type=float, default=0.1,
+                    help='PASS threshold on |measured - published| (%%)')
+    ap.add_argument('--baseline', default=None,
+                    help='path to BASELINE.md (default: repo root)')
+    args = ap.parse_args(argv)
     if args.cpu:
         os.environ['JAX_PLATFORMS'] = 'cpu'
         import jax
@@ -39,12 +64,14 @@ def main():
 
     import pretorched_tpu as pretorched
     from pretorched_tpu.transforms import LoadImage, TransformImage
+    from pretorched_tpu.zoo import golden as zoo_golden
     from pretorched_tpu.zoo import io as zoo_io
 
     names = args.models or pretorched.model_names
     os.makedirs(args.golden_dir, exist_ok=True)
     img = LoadImage()(args.image)
-    converted, skipped = [], []
+    baseline = zoo_golden.parse_baseline(args.baseline) if args.valdir else {}
+    converted, skipped, table, failures = [], [], [], 0
     for name in names:
         for tag, settings in pretorched.pretrained_settings.get(name, {}).items():
             url = settings.get('url')
@@ -67,12 +94,28 @@ def main():
                 top = int(logits.argmax())
                 print(f'{name}/{tag}: converted; cat.jpg argmax={top} '
                       f'logit={logits[top]:.3f}')
+                if args.valdir:
+                    top1, top5, n = zoo_golden.evaluate_imagenet(
+                        model, args.valdir, batch_size=args.batch_size,
+                        limit=args.limit, **EVAL_OVERRIDES.get(name, {}))
+                    row = zoo_golden.accuracy_row(
+                        name, tag, top1, top5, n, baseline, tol=args.tol)
+                    failures += row.endswith('FAIL')
+                    table.append(row)
+                    print('* ' + row, flush=True)
             else:
                 print(f'{name}/{tag}: converted (video; no golden image)')
             converted.append(f'{name}/{tag}')
     print(f'\nconverted {len(converted)}; '
           f'skipped (no local weights): {len(skipped)}')
+    if table:
+        print('\n== accuracy vs BASELINE.md '
+              f'(tol {args.tol}, limit {args.limit}) ==')
+        for row in table:
+            print(row)
+        print(f'{len(table) - failures}/{len(table)} within tolerance')
+    return 1 if failures else 0
 
 
 if __name__ == '__main__':
-    main()
+    sys.exit(main())
