@@ -31,7 +31,15 @@ def parse_args():
     p.add_argument('--arch', '-a', default='resnet3d50')
     p.add_argument('--pretrained', default='kinetics-400')
     p.add_argument('--num-classes', default=400, type=int)
-    p.add_argument('--frames', default=16, type=int)
+    p.add_argument('--frames', default='16',
+                   help="frames per clip (int), or 'native': use each "
+                        "video's own length (capped by --max-frames), "
+                        'bucketed to --frame-multiple so ragged videos '
+                        'compile at most once per rung')
+    p.add_argument('--max-frames', default=64, type=int,
+                   help='native-mode cap on frames per clip')
+    p.add_argument('--frame-multiple', default=8, type=int,
+                   help='native-mode temporal bucket size')
     p.add_argument('--clips', default=10, type=int)
     p.add_argument('--batch-size', '-b', default=4, type=int,
                    help='videos per step (x clips = clip batch)')
@@ -92,19 +100,24 @@ def main():
                  'input_range': [0, 1], 'mean': [0.485, 0.456, 0.406],
                  'std': [0.229, 0.224, 0.225]})
 
+    native_t = args.frames == 'native'
+    fixed_frames = None if native_t else int(args.frames)
+
     mesh = make_mesh()
     step = multi_clip_eval_step(model.module, mesh=mesh)
     videos, classes = list_videos(args.data)
     print(f'=> {len(videos)} videos, {len(classes)} classes, '
-          f'{args.clips}x{args.frames}f clips, mesh {dict(mesh.shape)}')
+          f"{args.clips}x{args.frames}f clips, mesh {dict(mesh.shape)}")
 
     import time
     batch_time, losses, top1, top5 = (AverageMeter() for _ in range(4))
-    batch_clips, batch_labels = [], []
+    # native-T mode: one accumulator per temporal bucket, so every flush is
+    # a fixed-shape step (at most one compile per rung)
+    buckets = {}        # t_bucket -> (clips list, labels list)
     t_last = time.time()
     batch_idx = 0
 
-    def flush():
+    def flush(batch_clips, batch_labels):
         nonlocal t_last, batch_idx
         if not batch_clips:
             return
@@ -119,8 +132,6 @@ def main():
         losses.update(float(out['loss']) / n, n)
         top1.update(100.0 * float(out['top1']) / n, n)
         top5.update(100.0 * float(out['top5']) / n, n)
-        batch_clips.clear()
-        batch_labels.clear()
         batch_time.update(time.time() - t_last)
         t_last = time.time()
         if batch_idx % args.print_freq == 0:
@@ -134,20 +145,36 @@ def main():
         batch_idx += 1
 
     for frames, label in videos:
-        clip_paths = sample_clips(frames, args.clips, args.frames)
+        if native_t:
+            # the video's own length, capped, bucketed up to the next rung
+            # (uniform temporal re-sampling — reference capability
+            # README.md:480-487, bounded-compile version)
+            clip_len = min(len(frames), args.max_frames)
+        else:
+            clip_len = fixed_frames
+        clip_paths = sample_clips(frames, args.clips, clip_len)
         flat = [p for clip in clip_paths for p in clip]
         arrays = decode_jpeg_files(flat, threads=args.workers)
         # one fused preprocess per clip (device-side resize/crop/normalize)
         clips = []
         for c in range(args.clips):
             frames_u8 = np.stack(
-                arrays[c * args.frames:(c + 1) * args.frames])
+                arrays[c * clip_len:(c + 1) * clip_len])
             clips.append(fused_preprocess(frames_u8, settings))
-        batch_clips.append(jnp.stack(clips))
-        batch_labels.append(label)
-        if len(batch_clips) == args.batch_size:
-            flush()
-    flush()
+        video = jnp.stack(clips)
+        if native_t:
+            from pretorched_tpu.utils.bucketing import (
+                resample_frames_to_bucket)
+            video = resample_frames_to_bucket(video, args.frame_multiple)
+        tb = video.shape[1]
+        clips_list, labels_list = buckets.setdefault(tb, ([], []))
+        clips_list.append(video)
+        labels_list.append(label)
+        if len(clips_list) == args.batch_size:
+            flush(clips_list, labels_list)
+            buckets.pop(tb)
+    for tb in sorted(buckets):
+        flush(*buckets[tb])
     print(f' * Acc@1 {top1.avg:.3f} Acc@5 {top5.avg:.3f}')
 
 

@@ -98,7 +98,8 @@ class PretrainedModel:
 
     def __init__(self, name: str, module, variables, settings: Optional[dict] = None,
                  head_path: Optional[str] = 'last_linear',
-                 data_format: str = 'channels_first'):
+                 data_format: str = 'channels_first',
+                 metadata: Optional[dict] = None):
         self.name = name
         self.module = module
         self.variables = jax.tree_util.tree_map(lambda x: x, dict(variables))
@@ -109,14 +110,21 @@ class PretrainedModel:
         self._jit_cache: Dict[Any, Callable] = {}
         self.training = False
         self._step = 0
-        if settings is not None:
-            self.input_space = settings['input_space']
-            self.input_size = settings['input_size']
-            self.input_range = settings['input_range']
-            self.mean = settings['mean']
-            self.std = settings['std']
-            if 'scale' in settings:
-                self.scale = settings['scale']
+        # ``settings`` is the loaded-pretrained settings (None for
+        # pretrained=None, matching the reference, which stamps metadata only
+        # on pretrained loads — torchvision_models.py:162-166). ``metadata``
+        # is the registry's default-dataset settings: stamping it regardless
+        # means TransformImage(model) always works, an intentional usability
+        # improvement over the reference quirk.
+        meta = settings if settings is not None else metadata
+        if meta is not None:
+            self.input_space = meta['input_space']
+            self.input_size = meta['input_size']
+            self.input_range = meta['input_range']
+            self.mean = meta['mean']
+            self.std = meta['std']
+            if 'scale' in meta:
+                self.scale = meta['scale']
 
     # ------------------------------------------------------------------ heads
     @property

@@ -49,6 +49,29 @@ def test_video_eval_inprocess(tmp_path, capsys):
     assert 'Loss' in out, out
 
 
+def test_video_eval_native_frames_inprocess(tmp_path, capsys):
+    """--frames native: ragged video lengths (3, 9, 12 frames) are bucketed
+    onto the --frame-multiple ladder (3->4, 9/12->16 with multiple 4, i.e.
+    at most one compile per rung), per-bucket batches flush independently,
+    and the consensus metrics still aggregate across all videos."""
+    rng = np.random.RandomState(0)
+    lengths = {'v0': 3, 'v1': 9, 'v2': 12}
+    for cls in ('applauding', 'boxing'):
+        for vid, n in lengths.items():
+            d = tmp_path / cls / vid
+            d.mkdir(parents=True)
+            for f in range(n):
+                arr = rng.randint(0, 255, (40, 40, 3), np.uint8)
+                Image.fromarray(arr).save(d / f'frame_{f:05d}.jpg')
+    out = _run_example(
+        'examples/video_eval.py',
+        [str(tmp_path), '-a', 'resnet3d10', '--pretrained', 'none',
+         '--num-classes', '2', '--frames', 'native', '--max-frames', '12',
+         '--frame-multiple', '4', '--clips', '2', '--size', '32',
+         '--batch-size', '2', '-j', '1'], capsys)
+    assert ' * Acc@1 ' in out, out
+
+
 def test_imagenet_eval_train_loop_inprocess(tmp_path, capsys, monkeypatch):
     """One tiny training epoch through examples/imagenet_eval.py: train step,
     validate, checkpoint + model_best copy (reference imagenet_eval.py:154-159,

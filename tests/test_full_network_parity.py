@@ -425,3 +425,109 @@ def test_densenet3d_full_network_parity():
     got = np.asarray(module.apply(variables,
                                   np.transpose(x, (0, 2, 3, 4, 1))))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+# -------------------------------------------------------------------------
+# FBResNet / CaffeResNet: full networks for the Torch7/Caffe-port deltas
+# (conv biases fbresnet.py:22-23,63-69; stride-on-conv1 + ceil stem pool
+# cafferesnet.py:66-69,109; avg7 heads) — VERDICT r2 #3
+# -------------------------------------------------------------------------
+
+def test_fbresnet18_full_network_parity():
+    from pretorched_tpu.models.resnet import ResNet
+    tm = twins.ResNet2DTwin(block='basic', layers=(2, 2, 2, 2),
+                            num_classes=12, conv_bias=True, avg7=True)
+    module = ResNet(block='basic', layers=(2, 2, 2, 2), num_classes=12,
+                    conv_bias=True, logits_pool='avg7')
+    _full_parity(tm, module, size=224, renames={'last_linear': 'fc'})
+
+
+@SLOW
+def test_fbresnet152_full_network_parity():
+    from pretorched_tpu.models.resnet import ResNet
+    tm = twins.ResNet2DTwin(block='bottleneck', layers=(3, 8, 36, 3),
+                            num_classes=12, conv_bias=True, avg7=True)
+    module = ResNet(block='bottleneck', layers=(3, 8, 36, 3), num_classes=12,
+                    conv_bias=True, logits_pool='avg7')
+    _full_parity(tm, module, size=224, renames={'last_linear': 'fc'})
+
+
+@SLOW
+def test_cafferesnet101_full_network_parity():
+    from pretorched_tpu.models.resnet import ResNet
+    tm = twins.ResNet2DTwin(block='bottleneck', layers=(3, 4, 23, 3),
+                            num_classes=12, stride_on='conv1',
+                            stem_pool='ceil', avg7=True)
+    module = ResNet(block='bottleneck', layers=(3, 4, 23, 3), num_classes=12,
+                    stride_on='conv1', stem_pool='ceil', logits_pool='avg7')
+    _full_parity(tm, module, size=224, renames={'last_linear': 'fc'})
+
+
+@SLOW
+@pytest.mark.parametrize('name', ['dpn92', 'dpn131'])
+def test_dpn_large_full_network_parity(name):
+    """dpn92/dpn131 wiring incl. the imagenet+5k-sized configs
+    (reference dpn.py:98-206, 312-389) — VERDICT r2 #3."""
+    from pretorched_tpu.models.dpn import _CONFIGS, DPN
+    cfg = _CONFIGS[name]
+    tm = twins.DPNTwin(num_classes=12, test_time_pool=True, **cfg).eval()
+    twins.randomize_bn(tm)
+    module = DPN(num_classes=12, test_time_pool=True, **cfg)
+    variables = dict(module.init(jax.random.key(0),
+                                 np.zeros((1, 224, 224, 3), np.float32)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert.convert_state_dict(sd, variables)
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(module.apply(variables, np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+# -------------------------------------------------------------------------
+# SoundNet: full conv-stack numerical parity incl. the window-averaged
+# logits head, and BranchedSoundNet's dual heads (reference soundnet.py:7-77;
+# the twins use real bn1..bn7 layers, not the reference's in-forward BN bug)
+# — VERDICT r2 #3/#4
+# -------------------------------------------------------------------------
+
+def _sound_parity(tm, module, length, heads=1):
+    tm = tm.eval()
+    twins.randomize_bn(tm)
+    variables = dict(module.init(jax.random.key(0),
+                                 np.zeros((1, length, 1), np.float32)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert.convert_state_dict(sd, variables)
+    x = np.random.RandomState(0).randn(1, 1, length).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+    got = module.apply(variables, np.transpose(x, (0, 2, 1)))
+    if heads == 1:
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(),
+                                   rtol=2e-3, atol=2e-3)
+    else:
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), r.numpy(),
+                                       rtol=2e-3, atol=2e-3)
+
+
+def test_soundnet_full_network_parity():
+    from pretorched_tpu.models.soundnet import SoundNet
+    # 67724 samples -> 262 conv8 steps -> exactly one 262000-dim window;
+    # 2x that length exercises the multi-window averaging path
+    _sound_parity(twins.SoundNetTwin(num_classes=14),
+                  SoundNet(num_classes=14), 67724)
+
+
+def test_soundnet_multiwindow_parity():
+    """Multi-window averaging (split[:-1] + right-aligned last window,
+    soundnet.py:73-77) at a reduced feature_dim so the CPU run stays cheap."""
+    from pretorched_tpu.models.soundnet import SoundNet
+    _sound_parity(twins.SoundNetTwin(num_classes=14, feature_dim=32000),
+                  SoundNet(num_classes=14, feature_dim=32000), 22000)
+
+
+def test_branched_soundnet_full_network_parity():
+    from pretorched_tpu.models.soundnet import BranchedSoundNet
+    _sound_parity(twins.BranchedSoundNetTwin(), BranchedSoundNet(),
+                  67724, heads=2)

@@ -1800,3 +1800,149 @@ class DenseNet3DTwin(tnn.Module):
         x = F.relu(f.norm5(x))
         x = F.avg_pool3d(x, (self.last_t, self.last_s, self.last_s)).flatten(1)
         return self.classifier(x)
+
+
+# --------------------------------------------------------------------------
+# Parametric torchvision-style 2D ResNet (FBResNet / CaffeResNet variants):
+# conv biases (fbresnet.py:22-23,63-69), stride on conv1 + ceil-mode stem
+# pool (cafferesnet.py:66-69,109), AvgPool2d(7) head (fbresnet.py:131).
+# --------------------------------------------------------------------------
+
+class _R2Basic(tnn.Module):
+    def __init__(self, cin, planes, stride=1, downsample=None, bias=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, planes, 3, stride, 1, bias=bias)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=bias)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return F.relu(out + identity)
+
+
+class _R2Bottleneck(tnn.Module):
+    def __init__(self, cin, planes, stride=1, downsample=None, bias=False,
+                 stride_on='conv2'):
+        super().__init__()
+        s1, s2 = (stride, 1) if stride_on == 'conv1' else (1, stride)
+        self.conv1 = tnn.Conv2d(cin, planes, 1, s1, bias=bias)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, s2, 1, bias=bias)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=bias)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return F.relu(out + identity)
+
+
+class ResNet2DTwin(tnn.Module):
+    """State-dict keys match torchvision ResNet naming (conv1, bn1,
+    layer{i}.{j}.*, downsample.{0,1}, fc)."""
+
+    def __init__(self, block='bottleneck', layers=(3, 4, 6, 3),
+                 num_classes=1000, conv_bias=False, stride_on='conv2',
+                 stem_pool='pad', avg7=False):
+        super().__init__()
+        self.stem_pool, self.avg7 = stem_pool, avg7
+        exp = 1 if block == 'basic' else 4
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=conv_bias)
+        self.bn1 = tnn.BatchNorm2d(64)
+        cin = 64
+        for stage, (planes, n, stride) in enumerate(
+                zip((64, 128, 256, 512), layers, (1, 2, 2, 2)), start=1):
+            mods = []
+            for i in range(n):
+                s = stride if i == 0 else 1
+                down = None
+                if s != 1 or cin != planes * exp:
+                    down = tnn.Sequential(
+                        tnn.Conv2d(cin, planes * exp, 1, s, bias=conv_bias),
+                        tnn.BatchNorm2d(planes * exp))
+                if block == 'basic':
+                    mods.append(_R2Basic(cin, planes, s, down, conv_bias))
+                else:
+                    mods.append(_R2Bottleneck(cin, planes, s, down, conv_bias,
+                                              stride_on))
+                cin = planes * exp
+            setattr(self, f'layer{stage}', tnn.Sequential(*mods))
+        self.fc = tnn.Linear(cin, num_classes)
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        if self.stem_pool == 'ceil':
+            x = F.max_pool2d(x, 3, 2, 0, ceil_mode=True)
+        else:
+            x = F.max_pool2d(x, 3, 2, 1)
+        for i in range(1, 5):
+            x = getattr(self, f'layer{i}')(x)
+        if self.avg7:
+            x = F.avg_pool2d(x, 7, 7)
+        else:
+            x = F.adaptive_avg_pool2d(x, 1)
+        return self.fc(x.flatten(1))
+
+
+# --------------------------------------------------------------------------
+# SoundNet-8 + BranchedSoundNet (reference soundnet.py:7-77) with REAL
+# BatchNorm layers named bn1..bn7 (the reference constructs untrained BNs
+# inside forward — a documented bug we correct; SURVEY §2.6).
+# --------------------------------------------------------------------------
+
+_SOUND_STAGES = ((1, 16, 64, 2, 32, 8), (16, 32, 32, 2, 16, 8),
+                 (32, 64, 16, 2, 8, None), (64, 128, 8, 2, 4, None),
+                 (128, 256, 4, 2, 2, 4), (256, 512, 4, 2, 2, None),
+                 (512, 1024, 4, 2, 2, None))
+
+
+class _SoundStack(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        for i, (cin, cout, k, s, p, _) in enumerate(_SOUND_STAGES, start=1):
+            setattr(self, f'conv{i}', tnn.Conv1d(cin, cout, k, s, p))
+            setattr(self, f'bn{i}', tnn.BatchNorm1d(cout))
+
+    def stack(self, x):
+        for i, (_, _, _, _, _, pool) in enumerate(_SOUND_STAGES, start=1):
+            x = F.relu(getattr(self, f'bn{i}')(getattr(self, f'conv{i}')(x)))
+            if pool:
+                x = F.max_pool1d(x, pool, 1, 0)
+        return x
+
+
+class SoundNetTwin(_SoundStack):
+    def __init__(self, num_classes=1000, feature_dim=262000):
+        super().__init__()
+        self.fdim = feature_dim
+        self.conv8 = tnn.Conv1d(1024, 1000, 8, 2, 0)
+        self.last_linear = tnn.Linear(feature_dim, num_classes)
+
+    def forward(self, x):
+        x = F.relu(self.conv8(self.stack(x))).flatten(1)
+        # window-averaged logits (reference soundnet.py:73-77)
+        wins = x.split(self.fdim, -1)[:-1] + (x[..., -self.fdim:],)
+        return torch.stack([self.last_linear(w) for w in wins]).mean(0)
+
+
+class BranchedSoundNetTwin(_SoundStack):
+    def __init__(self):
+        super().__init__()
+        self.conv8_1 = tnn.Conv1d(1024, 1000, 8, 2, 0)
+        self.conv8_2 = tnn.Conv1d(1024, 401, 8, 2, 0)
+        self.last_linear1 = tnn.Linear(262000, 1000)
+        self.last_linear2 = tnn.Linear(105062, 365)
+
+    def forward(self, x):
+        x = self.stack(x)
+        obj = self.last_linear1(F.relu(self.conv8_1(x)).flatten(1))
+        plc = self.last_linear2(F.relu(self.conv8_2(x)).flatten(1))
+        return obj, plc
