@@ -51,6 +51,10 @@ def parse_args():
                    help='rematerialize per residual block during backprop '
                         '(~4/3x FLOPs for much less activation HBM; lets '
                         'long clips / large batches train)')
+    p.add_argument('--accum-steps', default=1, type=int,
+                   help='gradient accumulation: split each batch into N '
+                        'sequential microbatches inside the jitted step '
+                        '(activation HBM bounded by the microbatch)')
     return p.parse_args()
 
 
@@ -185,7 +189,8 @@ def main():
     tx = sgd_step_decay(args.lr, args.momentum, args.weight_decay,
                         decay_epochs=30, steps_per_epoch=steps_per_epoch)
     train_step = make_train_step(model.module, tx, mesh=mesh,
-                                 remat=args.remat)
+                                 remat=args.remat,
+                                 accum_steps=args.accum_steps)
     params = model.variables['params']
     batch_stats = model.variables.get('batch_stats')
     opt_state = tx.init(params)

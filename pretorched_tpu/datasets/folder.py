@@ -110,14 +110,22 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
 
 
 def fast_eval_batches(root: str, settings, batch_size: int,
-                      num_threads: int = 8, channels_last: bool = True):
+                      num_threads: int = 8, channels_last: bool = True,
+                      prefetch: int = 2):
     """TPU-native eval pipeline: native threaded JPEG decode (C++/libjpeg) ->
     one device transfer -> fused resize/crop/normalize on device
     (transforms/fused.py). Yields (normalized device batch, labels).
 
     Decodes at reduced DCT scale when the source is much larger than the
     model's input — the host never touches pixels the crop would discard.
-    Falls back to PIL decoding transparently (datasets/native.py)."""
+    Falls back to PIL decoding transparently (datasets/native.py).
+
+    Host decode OVERLAPS device compute (VERDICT r2 #5): a producer thread
+    reads/decodes/dispatches up to ``prefetch`` batches ahead. Because
+    ``fused_preprocess`` dispatches asynchronously, batch N+1's host decode
+    and device preprocess run while the consumer's model step for batch N is
+    still executing — the double-buffering that makes the pipeline cost ~0
+    on a many-core host instead of serializing decode after compute."""
     import math
 
     from ..transforms.fused import fused_preprocess
@@ -130,36 +138,74 @@ def fast_eval_batches(root: str, settings, batch_size: int,
              else getattr(settings, 'scale', 0.875))
     target_short = int(math.floor(crop / scale))
 
-    for i in range(0, len(ds.samples), batch_size):
-        chunk = ds.samples[i:i + batch_size]
-        buffers, labels = [], []
-        for path, label in chunk:
-            with open(path, 'rb') as f:
-                buffers.append(f.read())
-            labels.append(label)
-        # reduced-DCT-scale decode: the largest denom in {8,4,2,1} that keeps
-        # every image's short side >= the resize target, read from headers
-        # only — the host never decodes pixels the crop would discard
-        shorts = [jpeg_short_side(b) for b in buffers]
-        denom = 1
-        if all(s is not None for s in shorts) and shorts:
-            smallest = min(shorts)
-            for d in (8, 4, 2):
-                if smallest // d >= target_short:
-                    denom = d
-                    break
-        arrays = decode_jpeg_batch(buffers, threads=num_threads,
-                                   scale_denom=denom)
-        # bucket by decoded size: each distinct size compiles the fused
-        # transform once; pad to the max size in the batch instead to keep one
-        # compilation — simplest robust choice: per-image resize on host is
-        # avoided by grouping same-size images
-        by_size = {}
-        for arr, label in zip(arrays, labels):
-            by_size.setdefault(arr.shape, []).append((arr, label))
-        for shape, items in by_size.items():
-            imgs = np.stack([a for a, _ in items])
-            lbls = np.asarray([l for _, l in items], np.int64)
-            batch = fused_preprocess(imgs, settings,
-                                     channels_last=channels_last)
-            yield batch, lbls
+    def decoded_batches():
+        for i in range(0, len(ds.samples), batch_size):
+            chunk = ds.samples[i:i + batch_size]
+            buffers, labels = [], []
+            for path, label in chunk:
+                with open(path, 'rb') as f:
+                    buffers.append(f.read())
+                labels.append(label)
+            # reduced-DCT-scale decode: the largest denom in {8,4,2,1} that
+            # keeps every image's short side >= the resize target, read from
+            # headers only — the host never decodes pixels the crop discards
+            shorts = [jpeg_short_side(b) for b in buffers]
+            denom = 1
+            if all(s is not None for s in shorts) and shorts:
+                smallest = min(shorts)
+                for d in (8, 4, 2):
+                    if smallest // d >= target_short:
+                        denom = d
+                        break
+            arrays = decode_jpeg_batch(buffers, threads=num_threads,
+                                       scale_denom=denom)
+            # bucket by decoded size: each distinct size compiles the fused
+            # transform once; grouping same-size images avoids per-image
+            # host resizes
+            by_size = {}
+            for arr, label in zip(arrays, labels):
+                by_size.setdefault(arr.shape, []).append((arr, label))
+            for shape, items in by_size.items():
+                imgs = np.stack([a for a, _ in items])
+                lbls = np.asarray([l for _, l in items], np.int64)
+                # async dispatch: the device starts preprocessing now, the
+                # producer thread moves on to decoding the next chunk
+                batch = fused_preprocess(imgs, settings,
+                                         channels_last=channels_last)
+                yield batch, lbls
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
+    stop = object()
+    abandoned = threading.Event()
+    error = []
+
+    def put_or_abandon(item) -> bool:
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            for item in decoded_batches():
+                if not put_or_abandon(item):
+                    return
+        except BaseException as e:  # surfaced to the consumer below
+            error.append(e)
+        put_or_abandon(stop)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        if error:
+            raise error[0]
+    finally:
+        abandoned.set()

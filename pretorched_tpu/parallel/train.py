@@ -26,7 +26,7 @@ def cross_entropy(logits, labels):
 def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
                     has_batch_stats: bool = True,
                     dropout_seed: int = 0, remat: bool = False,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, accum_steps: int = 1) -> Callable:
     """Returns step(params, batch_stats, opt_state, x, labels, step_idx) ->
     (params, batch_stats, opt_state, metrics).
 
@@ -39,6 +39,15 @@ def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
     trees *before* stepping, or pass ``donate=False`` to keep inputs alive
     (CPU tests ignore donation either way, so only real backends surface
     misuse — as a "donated buffer" error, never silent corruption).
+
+    ``accum_steps > 1`` enables gradient accumulation: the batch (divisible
+    by accum_steps) is split into microbatches processed sequentially by a
+    ``lax.scan`` inside the one jitted step — activation memory is bounded
+    by the microbatch while the optimizer sees the full-batch average
+    gradient. BN statistics update per microbatch (sequentially, like
+    feeding smaller batches); metrics are averaged over microbatches. The
+    batch-hungry configs (SlowFast b>128, resnet3d50 b>128 at 16f 224px)
+    use this to push effective batch past the HBM activation ceiling.
 
     ``remat=True`` rematerializes per residual block when the module supports
     it (a ``remat`` field, e.g. VideoResNet): backprop stores only block
@@ -72,11 +81,35 @@ def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
 
     def step(params, batch_stats, opt_state, x, labels, step_idx):
         rng = jax.random.fold_in(jax.random.key(dropout_seed), step_idx)
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch_stats, x, labels, rng)
+        if accum_steps == 1:
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats, x, labels, rng)
+            top1 = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+        else:
+            assert x.shape[0] % accum_steps == 0, (
+                f'batch {x.shape[0]} not divisible by accum_steps '
+                f'{accum_steps}')
+            micro = x.shape[0] // accum_steps
+            xs = x.reshape((accum_steps, micro) + x.shape[1:])
+            ls = labels.reshape(accum_steps, micro)
+            rngs = jax.random.split(rng, accum_steps)
+
+            def body(carry, inp):
+                bs, gsum = carry
+                xi, li, ri = inp
+                (loss_i, (logits_i, new_bs)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, bs, xi, li, ri)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                top1_i = jnp.mean(jnp.argmax(logits_i, axis=1) == li)
+                return (new_bs, gsum), (loss_i, top1_i)
+
+            gzero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (new_stats, gsum), (losses, top1s) = jax.lax.scan(
+                body, (batch_stats, gzero), (xs, ls, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, gsum)
+            loss, top1 = jnp.mean(losses), jnp.mean(top1s)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        top1 = jnp.mean(jnp.argmax(logits, axis=1) == labels)
         return params, new_stats, opt_state, {'loss': loss, 'top1': top1}
 
     donate_argnums = (0, 1, 2) if donate else ()

@@ -120,3 +120,33 @@ def test_batch_iterator_early_break_frees_producer():
             break
         time.sleep(0.1)
     assert threading.active_count() <= before
+
+
+def test_fast_eval_batches_prefetch_and_error_propagation(tmp_path):
+    """The threaded producer (host decode overlapping device compute):
+    early consumer exit doesn't hang, and a decode error surfaces to the
+    consumer instead of being swallowed in the producer thread."""
+    import os
+
+    from PIL import Image as PILImage
+
+    from pretorched_tpu.datasets.folder import fast_eval_batches
+
+    rng = np.random.RandomState(2)
+    d = tmp_path / 'val' / 'a'
+    os.makedirs(d)
+    for i in range(6):
+        PILImage.fromarray(rng.randint(0, 255, (64, 64, 3),
+                                       np.uint8)).save(d / f'{i}.jpg')
+    # early exit: take one batch and drop the generator
+    gen = fast_eval_batches(str(tmp_path / 'val'), SETTINGS, 2, prefetch=1)
+    next(gen)
+    gen.close()         # must not hang (producer abandons)
+
+    # error propagation: corrupt file that PIL cannot open either
+    (d / 'bad.jpg').write_bytes(b'not a jpeg at all')
+    import pytest
+
+    with pytest.raises(Exception):
+        for _ in fast_eval_batches(str(tmp_path / 'val'), SETTINGS, 3):
+            pass

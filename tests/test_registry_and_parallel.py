@@ -273,3 +273,72 @@ def test_model_shardings_indivisible_head_stays_replicated():
     placed2 = jax.device_put(model2.variables,
                              model_shardings(mesh, model2.variables))
     assert 'model' in str(placed2['params']['last_linear']['kernel'].sharding.spec)
+
+
+def test_train_step_gradient_accumulation_matches_full_batch():
+    """accum_steps=2 on a BN-free module: the accumulated average gradient
+    equals the full-batch gradient, so parameter updates (and therefore the
+    next step's loss) match the plain step exactly."""
+    import flax.linen as nn
+    import optax
+
+    from pretorched_tpu.parallel import make_train_step
+
+    class TinyNoBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3))(x)
+            x = jax.nn.relu(x).mean(axis=(1, 2))
+            return nn.Dense(6)(x)
+
+    module = TinyNoBN()
+    x = jnp.asarray(np.random.RandomState(2).randn(8, 16, 16, 3), jnp.float32)
+    labels = jnp.asarray(np.arange(8) % 6)
+    variables = dict(module.init(jax.random.key(0), x))
+
+    def run(accum):
+        tx = optax.sgd(0.1, momentum=0.9)
+        step = make_train_step(module, tx, has_batch_stats=False,
+                               accum_steps=accum)
+        pr = jax.tree_util.tree_map(jnp.copy, variables['params'])
+        opt_state = tx.init(pr)
+        losses = []
+        for i in range(3):
+            pr, _, opt_state, m = step(pr, None, opt_state, x, labels, i)
+            losses.append(float(m['loss']))
+        return losses, pr
+
+    la, pa = run(1)
+    lb, pb = run(2)
+    np.testing.assert_allclose(lb, la, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6),
+        pa, pb)
+
+
+def test_train_step_gradient_accumulation_with_bn():
+    """accum_steps with BatchNorm: runs, loss finite, and the BN running
+    stats advance (microbatch-sequential semantics)."""
+    import optax
+
+    from pretorched_tpu.models.resnet3d import VideoResNet
+    from pretorched_tpu.parallel import make_train_step
+
+    module = VideoResNet(block='basic', layers=(1, 1, 1, 1), expansion=1,
+                         num_classes=5)
+    x = jnp.asarray(np.random.RandomState(3).randn(4, 4, 32, 32, 3),
+                    jnp.float32)
+    labels = jnp.asarray(np.arange(4) % 5)
+    variables = dict(module.init(jax.random.key(0), x))
+    tx = optax.sgd(0.1)
+    step = make_train_step(module, tx, accum_steps=2)
+    pr = jax.tree_util.tree_map(jnp.copy, variables['params'])
+    bs0 = jax.tree_util.tree_map(jnp.copy, variables['batch_stats'])
+    bs = jax.tree_util.tree_map(jnp.copy, variables['batch_stats'])
+    opt_state = tx.init(pr)
+    pr, bs, opt_state, m = step(pr, bs, opt_state, x, labels, 0)
+    assert np.isfinite(float(m['loss']))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        bs0, bs)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
