@@ -462,6 +462,24 @@ def main():
                        f'N={n} C={c} f32 ms/iter'),
             'value': round(dt * 1000, 2), 'unit': 'ms'})
 
+    # ----------------------- 10. TRN multi-scale head (BASELINE config 4)
+    def row_trn():
+        trn = pretorched.trn(num_classes=400, num_segments=8,
+                             consensus='MSTRN', arch='resnet50',
+                             pretrained=None)
+        trn.bfloat16()
+        tb = int(os.environ.get('BENCH_TRN_BATCH', str(min(BATCH, 64))))
+        clip = jnp.asarray(rng.rand(tb, 8, SIZE, SIZE, 3), jnp.bfloat16)
+
+        def fwdt(c):
+            return trn.apply(trn.variables, c)[0, 0]
+
+        dt, b = timed_scan(fwdt, clip, max(ITERS // 2, 5), 'trn-mstrn')
+        rows.append({
+            'metric': (f'trn MSTRN resnet50-backbone 8seg {SIZE}px bf16 '
+                       f'videos/sec/chip'),
+            'value': round(b / dt, 2), 'unit': 'videos/s', 'batch': b})
+
     suite = [
         ('resnet3d50', row_resnet3d50),
         ('train', row_train),
@@ -472,6 +490,7 @@ def main():
         ('multiclip', row_multiclip),
         ('pipeline', row_pipeline),
         ('attn', row_attn),
+        ('trn', row_trn),
     ]
     for i, (name, fn) in enumerate(suite):
         if ONLY and name not in ONLY.split(','):
