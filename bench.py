@@ -24,7 +24,7 @@ Rows, ordered so the most important land inside the time budget first:
   8. fused uint8 decode->preprocess->forward device pipeline
   9. nonlocal attention kernel fwd+bwd, N=8192 (blockwise backward)
 
-``BENCH_TIME_BUDGET`` (seconds, default 1140) bounds the whole run: once the
+``BENCH_TIME_BUDGET`` (seconds, default 1500) bounds the whole run: once the
 budget is spent, remaining rows are skipped with a note. The headline row
 always runs (it is first and its result is printed the moment it exists).
 
@@ -60,7 +60,7 @@ FRAMES = int(os.environ.get('BENCH_FRAMES', '16'))
 SIZE = int(os.environ.get('BENCH_SIZE', '224'))
 ITERS = int(os.environ.get('BENCH_ITERS', '20'))
 ONLY = os.environ.get('BENCH_ONLY', '')       # comma list of row names
-TIME_BUDGET = float(os.environ.get('BENCH_TIME_BUDGET', '1140'))
+TIME_BUDGET = float(os.environ.get('BENCH_TIME_BUDGET', '1500'))
 
 _T_START = time.monotonic()
 
