@@ -123,3 +123,27 @@ def test_golden_workflow_pass_verdict(tmp_path, monkeypatch):
     unknown = golden.accuracy_row('mysterynet', 'imagenet', 50.0, 70.0, 10,
                                   {})
     assert 'no published baseline' in unknown
+
+
+def test_golden_workflow_video_model(tmp_path, monkeypatch, capsys):
+    """Video checkpoints (input_size shares the image [C,H,W] schema) take
+    the fixed-seed-clip golden path, not the cat.jpg image path."""
+    monkeypatch.setenv('PRETORCHED_HOME', str(tmp_path / 'zoo'))
+    from pretorched_tpu.zoo import io
+
+    # shrink the eval shape so the 1-core CPU forward stays cheap
+    settings = pretorched_tpu.pretrained_settings['resnet3d18']['kinetics-400']
+    monkeypatch.setitem(settings, 'input_size', [3, 64, 64])
+
+    m = pretorched_tpu.resnet3d18(num_classes=400, pretrained=None)
+    io.save_converted(m.variables,
+                      io.converted_path('resnet3d18', 'kinetics-400'))
+
+    tool = _load_tool()
+    rc = tool.main(['--golden-dir', str(tmp_path / 'golden'),
+                    '--image', os.path.join(REPO, 'data', 'cat.jpg'),
+                    'resnet3d18'])
+    out = capsys.readouterr().out
+    assert 'fixed-seed clip golden logits saved' in out, out
+    assert (tmp_path / 'golden' / 'resnet3d18-kinetics-400.npy').exists()
+    assert rc == 0

@@ -86,12 +86,29 @@ def main(argv=None):
                 print(f'!! {name}/{tag}: {type(e).__name__}: {e}')
                 continue
             model.eval()
-            if len(settings['input_size']) == 3:   # image models only
+            # Video settings reuse the [C, H, W] input_size schema
+            # (resnet3D.py:38-55), so rank alone cannot separate image from
+            # video models — probe with the image path and fall back.
+            shape = settings['input_size']
+            try:
                 x = TransformImage(settings)(img)[None]
                 logits = np.asarray(model(x))[0]
-                np.save(os.path.join(args.golden_dir, f'{name}-{tag}.npy'),
-                        logits)
-                top = int(logits.argmax())
+                is_video = False
+            except Exception:
+                # video checkpoints have no published accuracy table
+                # (BASELINE.md) — parity is logit-match on a fixed-seed clip
+                t = shape[1] if len(shape) == 4 else 16
+                clip = np.random.RandomState(0).rand(
+                    1, shape[0], t, shape[-2], shape[-1]).astype(np.float32)
+                logits = np.asarray(model(clip))[0]
+                is_video = True
+            np.save(os.path.join(args.golden_dir, f'{name}-{tag}.npy'),
+                    logits)
+            top = int(logits.argmax())
+            if is_video:
+                print(f'{name}/{tag}: converted (video; fixed-seed clip '
+                      f'golden logits saved, argmax={top})')
+            else:
                 print(f'{name}/{tag}: converted; cat.jpg argmax={top} '
                       f'logit={logits[top]:.3f}')
                 if args.valdir:
@@ -103,8 +120,6 @@ def main(argv=None):
                     failures += row.endswith('FAIL')
                     table.append(row)
                     print('* ' + row, flush=True)
-            else:
-                print(f'{name}/{tag}: converted (video; no golden image)')
             converted.append(f'{name}/{tag}')
     print(f'\nconverted {len(converted)}; '
           f'skipped (no local weights): {len(skipped)}')
