@@ -205,7 +205,8 @@ def main():
                                      s2d_stem=True)
         variables = model.variables
         tx = optax.sgd(0.1, momentum=0.9)
-        step = make_train_step(module, tx)
+        accum = int(os.environ.get('BENCH_TRAIN_ACCUM', '1'))
+        step = make_train_step(module, tx, accum_steps=accum)
         iters = max(ITERS // 2, 5)
         # v5e sweep (ROUND_NOTES r2): b64 177, b128 226.8 clips/s, b192 OOM;
         # the halve-batch fallback below covers OOM if other rows hold HBM.
@@ -233,7 +234,7 @@ def main():
                 t0 = time.perf_counter()
                 p, bs, os_, m = step(p, bs, os_, clip, labels, 0)
                 jax.device_get(m['loss'])
-                print(f'# train b{batch} compile+first: '
+                print(f'# train b{batch} accum{accum} compile+first: '
                       f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
                 t0 = time.perf_counter()
                 for i in range(1, iters + 1):
@@ -254,7 +255,8 @@ def main():
         clips_s = batch / dt
         rows.append({
             'metric': (f'resnet3d50 {FRAMES}f{SIZE}px bf16-compute SGD train '
-                       f'step clips/sec/chip (donated buffers)'),
+                       f'step clips/sec/chip (donated buffers'
+                       + (f', accum x{accum}' if accum > 1 else '') + ')'),
             'value': round(clips_s, 2), 'unit': 'clips/s', 'batch': batch,
             'gflops_per_clip': round(flops_step / batch / 1e9, 1),
             'mfu': round(flops_step / batch * clips_s / V5E_BF16_PEAK_FLOPS,
