@@ -60,8 +60,20 @@ def main(argv=None):
         os.environ['JAX_PLATFORMS'] = 'cpu'
         import jax
         jax.config.update('jax_platforms', 'cpu')
+    # strict weights for the duration of the tool only — restored on exit so
+    # an in-process caller (tests) doesn't leak the env var
+    prior_strict = os.environ.get('PRETORCHED_STRICT_WEIGHTS')
     os.environ['PRETORCHED_STRICT_WEIGHTS'] = '1'
+    try:
+        return _run(args)
+    finally:
+        if prior_strict is None:
+            os.environ.pop('PRETORCHED_STRICT_WEIGHTS', None)
+        else:
+            os.environ['PRETORCHED_STRICT_WEIGHTS'] = prior_strict
 
+
+def _run(args):
     import pretorched_tpu as pretorched
     from pretorched_tpu.transforms import LoadImage, TransformImage
     from pretorched_tpu.zoo import golden as zoo_golden
