@@ -23,6 +23,7 @@ Rows, ordered so the most important land inside the time budget first:
   7. 10-clip consensus eval step (multi_clip_eval_step math)
   8. fused uint8 decode->preprocess->forward device pipeline
   9. nonlocal attention kernel fwd+bwd, N=8192 (blockwise backward)
+ 10. TRN multi-scale relation head (MSTRN, resnet50 backbone, 8 segments)
 
 ``BENCH_TIME_BUDGET`` (seconds, default 1500) bounds the whole run: once the
 budget is spent, remaining rows are skipped with a note. The headline row
@@ -230,7 +231,6 @@ def main():
                 clip = jnp.asarray(rng.rand(batch, FRAMES, SIZE, SIZE, 3),
                                    jnp.float32)
                 labels = jnp.asarray(np.arange(batch) % 400)
-                flops_step = cost_flops(step, p, bs, os_, clip, labels, 0)
                 t0 = time.perf_counter()
                 p, bs, os_, m = step(p, bs, os_, clip, labels, 0)
                 jax.device_get(m['loss'])
@@ -252,6 +252,9 @@ def main():
                 p = bs = os_ = clip = labels = m = None
                 gc.collect()
         assert np.isfinite(loss), loss
+        # cost analysis once, at the batch that actually fit (the jit cache
+        # shares the executable, so this lowers without a second compile)
+        flops_step = cost_flops(step, p, bs, os_, clip, labels, 0)
         clips_s = batch / dt
         rows.append({
             'metric': (f'resnet3d50 {FRAMES}f{SIZE}px bf16-compute SGD train '

@@ -81,5 +81,10 @@ def build_model(name: str, module, settings_map, num_classes: int,
     if settings is None:
         ds = settings_map.get(name) or {}
         metadata = ds.get('imagenet') or next(iter(ds.values()), None)
-    return PretrainedModel(name, module, variables, settings,
-                           head_path=head_path, metadata=metadata)
+    model = PretrainedModel(name, module, variables, settings,
+                            head_path=head_path, metadata=metadata)
+    # channels-last init rank: 5 = video (B,T,H,W,C), 4 = image, 3 = audio.
+    # Settings can't distinguish these (video settings reuse the [C,H,W]
+    # schema, resnet3D.py:38-55) but the factory knows its init shape.
+    model.input_ndim = len(tuple(input_shape))
+    return model

@@ -23,6 +23,54 @@ from PIL import Image
 IMG_EXTENSIONS = ('.jpg', '.jpeg', '.png', '.ppm', '.bmp', '.webp')
 
 
+def _prefetched(items: Iterator, prefetch: int, cleanup=None) -> Iterator:
+    """Drain ``items`` on a producer thread through a bounded queue.
+
+    The consumer sees up to ``prefetch`` items buffered ahead (host work
+    overlaps whatever the consumer does with each item). A producer
+    exception is re-raised to the consumer after the buffered items drain
+    — never swallowed, never a hang (the stop sentinel is always enqueued).
+    Early consumer exit (GeneratorExit) unblocks and ends the producer."""
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
+    stop = object()
+    abandoned = threading.Event()
+    error = []
+
+    def put_or_abandon(item) -> bool:
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            for item in items:
+                if not put_or_abandon(item):
+                    return
+        except BaseException as e:  # surfaced to the consumer below
+            error.append(e)
+        finally:
+            put_or_abandon(stop)
+            if cleanup is not None:
+                cleanup()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        if error:
+            raise error[0]
+    finally:
+        abandoned.set()
+
+
 class ImageFolder:
     """class-per-subdir image dataset; items are (transformed_img, label)."""
 
@@ -73,40 +121,8 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
         labels = np.asarray([y for _, y in items], np.int64)
         return imgs, labels
 
-    q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
-    stop = object()
-    abandoned = threading.Event()     # consumer broke out of the loop early
-
-    def put_or_abandon(item) -> bool:
-        while not abandoned.is_set():
-            try:
-                q.put(item, timeout=0.1)
-                return True
-            except queue_mod.Full:
-                continue
-        return False
-
-    def producer():
-        try:
-            for idxs in batches:
-                if not put_or_abandon(load_batch(idxs)):
-                    return
-            put_or_abandon(stop)
-        finally:
-            executor.shutdown(wait=False)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-    finally:
-        # unblocks the producer (and frees its thread pool + prefetched
-        # batches) when the consumer stops early — GeneratorExit lands here
-        abandoned.set()
+    yield from _prefetched((load_batch(idxs) for idxs in batches), prefetch,
+                           cleanup=lambda: executor.shutdown(wait=False))
 
 
 def fast_eval_batches(root: str, settings, batch_size: int,
@@ -174,38 +190,4 @@ def fast_eval_batches(root: str, settings, batch_size: int,
                                          channels_last=channels_last)
                 yield batch, lbls
 
-    q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
-    stop = object()
-    abandoned = threading.Event()
-    error = []
-
-    def put_or_abandon(item) -> bool:
-        while not abandoned.is_set():
-            try:
-                q.put(item, timeout=0.1)
-                return True
-            except queue_mod.Full:
-                continue
-        return False
-
-    def producer():
-        try:
-            for item in decoded_batches():
-                if not put_or_abandon(item):
-                    return
-        except BaseException as e:  # surfaced to the consumer below
-            error.append(e)
-        put_or_abandon(stop)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        if error:
-            raise error[0]
-    finally:
-        abandoned.set()
+    yield from _prefetched(decoded_batches(), prefetch)

@@ -260,8 +260,12 @@ def trn(num_classes: int = 339, num_segments: int = 8, consensus: str = 'MSTRN',
             variables[coll]['base_module'] = base.variables[coll]
     settings = dict(pretrained_settings['trn'].get(pretrained, {})) or None
     model = PretrainedModel('trn', module, variables, settings)
-    if settings is None and base.settings is not None:
-        # TRN inherits preprocessing metadata from its backbone (trn.py:213-216)
+    model.input_ndim = 5
+    if settings is None and getattr(base, 'input_size', None) is not None:
+        # TRN inherits preprocessing metadata from its backbone
+        # (trn.py:213-216); the backbone carries stamped registry metadata
+        # even when built with pretrained=None (core/factory.py), so
+        # TransformImage(trn_model) always works too.
         for attr in ('input_space', 'input_size', 'input_range', 'mean', 'std'):
             setattr(model, attr, getattr(base, attr))
     return model

@@ -58,12 +58,19 @@ def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
-        if template is not None:
-            return ckptr.restore(os.path.abspath(path), item=template)
-        return ckptr.restore(os.path.abspath(path))
+        try:
+            if template is not None:
+                return ckptr.restore(os.path.abspath(path), item=template)
+            return ckptr.restore(os.path.abspath(path))
+        except Exception:
+            # a partial/corrupt Orbax dir (e.g. disk-full during save) must
+            # not shadow an older good msgpack sitting next to it
+            if not os.path.exists(path + '.msgpack'):
+                raise
     from flax import serialization
 
-    fname = path if os.path.exists(path) else path + '.msgpack'
+    fname = path if os.path.exists(path) and not os.path.isdir(path) \
+        else path + '.msgpack'
     with open(fname, 'rb') as f:
         data = f.read()
     if template is not None:

@@ -51,7 +51,7 @@ def test_video_eval_inprocess(tmp_path, capsys):
 
 def test_video_eval_native_frames_inprocess(tmp_path, capsys):
     """--frames native: ragged video lengths (3, 9, 12 frames) are bucketed
-    onto the --frame-multiple ladder (3->4, 9/12->16 with multiple 4, i.e.
+    onto the --frame-multiple ladder (3->4, 9/12->12 with multiple 4, i.e.
     at most one compile per rung), per-bucket batches flush independently,
     and the consensus metrics still aggregate across all videos."""
     rng = np.random.RandomState(0)

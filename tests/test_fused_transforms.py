@@ -150,3 +150,24 @@ def test_fast_eval_batches_prefetch_and_error_propagation(tmp_path):
     with pytest.raises(Exception):
         for _ in fast_eval_batches(str(tmp_path / 'val'), SETTINGS, 3):
             pass
+
+
+def test_batch_iterator_error_propagates_no_hang():
+    """A raising __getitem__ must surface to the consumer (pre-r3 the
+    producer died without enqueuing the stop sentinel -> q.get() hung)."""
+    import pytest
+
+    from pretorched_tpu.datasets.folder import batch_iterator
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise OSError('corrupt image')
+            return np.zeros((4, 4, 3), np.float32), 0
+
+    with pytest.raises(OSError, match='corrupt image'):
+        for _ in batch_iterator(Bad(), 4, num_workers=2):
+            pass

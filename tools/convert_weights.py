@@ -98,22 +98,26 @@ def _run(args):
                 print(f'!! {name}/{tag}: {type(e).__name__}: {e}')
                 continue
             model.eval()
-            # Video settings reuse the [C, H, W] input_size schema
-            # (resnet3D.py:38-55), so rank alone cannot separate image from
-            # video models — probe with the image path and fall back.
+            # The factory stamps the channels-last init rank (settings can't
+            # distinguish image from video — both use [C, H, W]).
             shape = settings['input_size']
-            try:
-                x = TransformImage(settings)(img)[None]
-                logits = np.asarray(model(x))[0]
-                is_video = False
-            except Exception:
+            ndim = getattr(model, 'input_ndim', 4)
+            is_video = ndim != 4
+            if ndim == 5:
                 # video checkpoints have no published accuracy table
                 # (BASELINE.md) — parity is logit-match on a fixed-seed clip
                 t = shape[1] if len(shape) == 4 else 16
                 clip = np.random.RandomState(0).rand(
                     1, shape[0], t, shape[-2], shape[-1]).astype(np.float32)
                 logits = np.asarray(model(clip))[0]
-                is_video = True
+            elif ndim == 3:        # audio: fixed-seed waveform golden
+                wav = (np.random.RandomState(0)
+                       .rand(1, shape[0], shape[-1]).astype(np.float32) * 2
+                       - 1)
+                logits = np.asarray(model(wav))[0]
+            else:
+                x = TransformImage(settings)(img)[None]
+                logits = np.asarray(model(x))[0]
             np.save(os.path.join(args.golden_dir, f'{name}-{tag}.npy'),
                     logits)
             top = int(logits.argmax())
