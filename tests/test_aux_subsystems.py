@@ -80,3 +80,19 @@ def test_grad_stats_and_assert_finite():
     assert_finite(grads)
     with pytest.raises(FloatingPointError):
         assert_finite({'x': jnp.asarray([np.nan])})
+
+
+def test_profile_model_cli():
+    """tools/profile_model.py: cost analysis + op ranking + timed steps."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        'profile_model',
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), 'tools', 'profile_model.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rc = mod.main(['-a', 'resnet18', '-b', '1', '--size', '64',
+                   '--num-classes', '7', '--cpu'])
+    assert rc == 0
