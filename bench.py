@@ -473,7 +473,9 @@ def main():
                              consensus='MSTRN', arch='resnet50',
                              pretrained=None)
         trn.bfloat16()
-        tb = int(os.environ.get('BENCH_TRN_BATCH', str(min(BATCH, 64))))
+        # b16 keeps the MSTRN graph's remote compile tractable — at b64 the
+        # axon tunnel's remote_compile breaks (r3: broken pipe after ~25min)
+        tb = int(os.environ.get('BENCH_TRN_BATCH', str(min(BATCH, 16))))
         clip = jnp.asarray(rng.rand(tb, 8, SIZE, SIZE, 3), jnp.bfloat16)
 
         def fwdt(c):
