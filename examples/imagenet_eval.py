@@ -41,6 +41,10 @@ def parse_args():
                    help='resize scale; default: model metadata, else 0.875')
     p.add_argument('--fast-pipeline', action='store_true',
                    help='native C++ JPEG decode + fused device preprocessing')
+    p.add_argument('--bf16', action='store_true',
+                   help='bf16 compute (params stay f32) + bf16 fused '
+                        'pipeline: the TPU serving mode (MXU-rate matmuls, '
+                        'half the preprocessing HBM traffic)')
     p.add_argument('--ten-crop', action='store_true',
                    help='10-crop eval: 4 corners + center, each hflipped, '
                         'softmax-averaged (README.md:198-199 style)')
@@ -82,6 +86,8 @@ def main():
     model = pretorched.__dict__[args.arch](
         num_classes=1000, pretrained=pretrained)
     model.eval()
+    if args.bf16:
+        model.bfloat16()
 
     settings = (model.settings if model.settings is not None else
                 pretorched.pretrained_settings[args.arch]['imagenet'])
@@ -140,12 +146,16 @@ def main():
     def val_batches():
         if args.fast_pipeline:
             from pretorched_tpu.datasets.folder import fast_eval_batches
-            yield from fast_eval_batches(valdir, settings, args.batch_size,
-                                         num_threads=args.workers)
+            yield from fast_eval_batches(
+                valdir, settings, args.batch_size, num_threads=args.workers,
+                dtype='bfloat16' if args.bf16 else 'float32')
         else:
             for images, labels in batch_iterator(
                     val_set, args.batch_size, num_workers=args.workers):
-                yield to_channels_last(jnp.asarray(images)), labels
+                images = to_channels_last(jnp.asarray(images))
+                if args.bf16:
+                    images = images.astype(jnp.bfloat16)
+                yield images, labels
 
     def validate():
         batch_time, losses, top1, top5 = (AverageMeter() for _ in range(4))

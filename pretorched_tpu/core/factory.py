@@ -87,4 +87,7 @@ def build_model(name: str, module, settings_map, num_classes: int,
     # Settings can't distinguish these (video settings reuse the [C,H,W]
     # schema, resnet3D.py:38-55) but the factory knows its init shape.
     model.input_ndim = len(tuple(input_shape))
+    # keep the rename map so export_torch_state_dict() emits the same torch
+    # key names this model's checkpoints use (zoo/convert.py roundtrip)
+    model.torch_renames = torch_renames
     return model

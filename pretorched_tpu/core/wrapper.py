@@ -110,6 +110,7 @@ class PretrainedModel:
         self._jit_cache: Dict[Any, Callable] = {}
         self.training = False
         self._step = 0
+        self.torch_renames = None     # set by the factory (export key names)
         # ``settings`` is the loaded-pretrained settings (None for
         # pretrained=None, matching the reference, which stamps metadata only
         # on pretrained loads — torchvision_models.py:162-166). ``metadata``
@@ -186,6 +187,14 @@ class PretrainedModel:
     def eval(self):
         self.training = False
         return self
+
+    def export_torch_state_dict(self):
+        """Variables -> torch-style state_dict (numpy values, torch layouts,
+        this model's own checkpoint key names) — the inverse of pretrained
+        loading, so fine-tuned weights travel back to torch users. See
+        ``zoo.convert.to_torch_state_dict`` / ``save_torch_checkpoint``."""
+        from ..zoo.convert import to_torch_state_dict
+        return to_torch_state_dict(self.variables, renames=self.torch_renames)
 
     def bfloat16(self):
         """Switch compute dtype to bfloat16 (params stay f32)."""

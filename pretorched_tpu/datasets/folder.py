@@ -127,7 +127,7 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
 
 def fast_eval_batches(root: str, settings, batch_size: int,
                       num_threads: int = 8, channels_last: bool = True,
-                      prefetch: int = 2):
+                      prefetch: int = 2, dtype: str = 'float32'):
     """TPU-native eval pipeline: native threaded JPEG decode (C++/libjpeg) ->
     one device transfer -> fused resize/crop/normalize on device
     (transforms/fused.py). Yields (normalized device batch, labels).
@@ -187,7 +187,8 @@ def fast_eval_batches(root: str, settings, batch_size: int,
                 # async dispatch: the device starts preprocessing now, the
                 # producer thread moves on to decoding the next chunk
                 batch = fused_preprocess(imgs, settings,
-                                         channels_last=channels_last)
+                                         channels_last=channels_last,
+                                         dtype=dtype)
                 yield batch, lbls
 
     yield from _prefetched(decoded_batches(), prefetch)

@@ -20,6 +20,10 @@ plus layout transposes (conv OIHW->HWIO, conv3d OITHW->THWIO, linear
 * ``renames``: flax-prefix -> torch-prefix maps (e.g. ``last_linear -> fc``)
   and regex rewrites (densenet dotted keys, torchvision_models.py:288-297);
 * ``strict=False``: tolerate missing keys (nonlocalnet.py:564).
+
+The mapping is invertible: ``to_torch_state_dict`` / ``save_torch_checkpoint``
+export our (possibly fine-tuned) variables back to a torch ``state_dict``
+the reference can load — interop in both directions.
 """
 
 from __future__ import annotations
@@ -218,6 +222,65 @@ def convert_state_dict_ordered(state_dict, variables: dict,
                 f'ordered leaf {ours!r} matches no model variable '
                 f'(torch group {tprefix!r} would be dropped)')
     return unflatten_variables(out)
+
+
+def _to_torch_layout(value: np.ndarray, path: Tuple[str, ...]) -> np.ndarray:
+    """Inverse of ``_to_flax_layout`` (layout only — inflation/class slicing
+    are lossy and stay in their converted form)."""
+    if path[-1] == 'kernel':
+        if value.ndim == 2:                       # (in, out) -> (out, in)
+            return np.transpose(value, (1, 0))
+        if value.ndim == 3:                       # (W, in, out) -> (out, in, W)
+            return np.transpose(value, (2, 1, 0))
+        if value.ndim == 4:                       # HWIO -> OIHW
+            return np.transpose(value, (3, 2, 0, 1))
+        if value.ndim == 5:                       # THWIO -> OITHW
+            return np.transpose(value, (4, 3, 0, 1, 2))
+    return value
+
+
+def to_torch_state_dict(variables: dict,
+                        renames: Optional[dict] = None) -> Dict[str, np.ndarray]:
+    """Export our variables pytree as a torch-style ``state_dict``
+    (numpy float values, torch layouts, torch key names).
+
+    The exact inverse of ``convert_state_dict``'s mechanical rule — leaf
+    modules are named with torch prefixes, so a model trained or fine-tuned
+    here round-trips into a checkpoint the reference (or any torch codebase
+    sharing its naming) can ``load_state_dict`` directly. BN leaves get the
+    ``num_batches_tracked`` scalar torch's strict loading expects. bf16
+    leaves are widened to float32 (numpy-portable). Not invertible by
+    design: ``background_class`` slicing (the 1001st row is gone) and I3D
+    inflation (3D kernels export as conv3d weights)."""
+    flat = flatten_variables(variables)
+    sd: Dict[str, np.ndarray] = {}
+    bn_prefixes = set()
+    for path, leaf in flat.items():
+        tkey = torch_key_for(path, renames)
+        if tkey is None:
+            continue
+        value = np.asarray(leaf)
+        if value.dtype not in (np.float32, np.float64, np.int32, np.int64):
+            value = value.astype(np.float32)
+        sd[tkey] = np.ascontiguousarray(_to_torch_layout(value, path))
+        if path[0] == 'batch_stats':
+            bn_prefixes.add('.'.join(path[1:-1]))
+    for prefix in bn_prefixes:
+        tprefix = prefix
+        if renames and prefix in renames:
+            tprefix = renames[prefix]
+        sd[f'{tprefix}.num_batches_tracked'] = np.asarray(0, np.int64)
+    return sd
+
+
+def save_torch_checkpoint(variables: dict, path: str,
+                          renames: Optional[dict] = None) -> None:
+    """``to_torch_state_dict`` + ``torch.save`` (tensors, plain state_dict
+    at top level — the reference's hosted-checkpoint format)."""
+    import torch
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in to_torch_state_dict(variables, renames).items()}
+    torch.save(sd, path)
 
 
 def densenet_key_rewrite(key: str) -> str:

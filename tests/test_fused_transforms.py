@@ -26,6 +26,22 @@ def test_fused_matches_pil_oracle():
     assert diff.mean() < 0.02, diff.mean()
 
 
+def test_fused_bf16_matches_f32():
+    """dtype='bfloat16' (half the HBM traffic, MXU resize) stays within
+    bf16 rounding of the f32 chain — uint8->bf16 is exact, so the only
+    noise is /255 + bilinear accumulation + the final affine."""
+    rng = np.random.RandomState(3)
+    raw = rng.randint(0, 255, (2, 300, 400, 3), np.uint8)
+    f32 = np.asarray(fused_preprocess(raw, SETTINGS))
+    bf16 = np.asarray(fused_preprocess(raw, SETTINGS,
+                                       dtype='bfloat16')).astype(np.float32)
+    assert bf16.dtype == np.float32 and bf16.shape == f32.shape
+    # normalized units: values span ~[-2.1, 2.6]; bf16 eps ~ 2^-8
+    diff = np.abs(bf16 - f32)
+    assert diff.max() < 0.08, diff.max()
+    assert diff.mean() < 0.01, diff.mean()
+
+
 def test_fused_bgr_255():
     s = dict(SETTINGS, input_space='BGR', input_range=[0, 255],
              mean=[104, 117, 128], std=[1, 1, 1])

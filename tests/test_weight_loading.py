@@ -97,3 +97,57 @@ def test_ordered_converter_rejects_unmatched_leaf():
           'head.bias': np.zeros((3,), np.float32)}
     with _pytest.raises(ValueError, match='matches no model variable'):
         convert.convert_state_dict_ordered(sd, variables, ['haed'])
+
+
+def test_torch_export_roundtrip():
+    """flax -> torch export is the exact inverse of the import path: a twin's
+    state_dict converted in and exported back is bit-identical, and torch's
+    strict load_state_dict accepts the export (interop both ways)."""
+    from pretorched_tpu.models.resnet import TORCH_RENAMES
+    from pretorched_tpu.zoo import convert
+
+    from torch_twins import ResNet2DTwin
+
+    twin = ResNet2DTwin('basic', (2, 2, 2, 2), num_classes=10)
+    sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+
+    model = pretorched_tpu.resnet18(num_classes=10, pretrained=None)
+    variables = convert.convert_state_dict(sd, model.variables,
+                                           renames=TORCH_RENAMES)
+    out = convert.to_torch_state_dict(variables, renames=TORCH_RENAMES)
+
+    assert set(out) == set(sd), (set(out) ^ set(sd))
+    for k in sd:
+        np.testing.assert_array_equal(out[k], sd[k], err_msg=k)
+    twin.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                          for k, v in out.items()}, strict=True)
+
+
+def test_save_torch_checkpoint_loads_back(tmp_path):
+    """save_torch_checkpoint writes a .pth the import path round-trips."""
+    from pretorched_tpu.models.resnet import TORCH_RENAMES
+    from pretorched_tpu.zoo import convert
+
+    model = pretorched_tpu.resnet18(num_classes=7, pretrained=None)
+    path = tmp_path / 'exported.pth'
+    convert.save_torch_checkpoint(model.variables, str(path),
+                                  renames=TORCH_RENAMES)
+    sd = {k: v.numpy() for k, v in torch.load(str(path)).items()}
+    variables = convert.convert_state_dict(sd, model.variables,
+                                           renames=TORCH_RENAMES)
+    a = convert.flatten_variables(model.variables)
+    b = convert.flatten_variables(variables)
+    for path_k in a:
+        np.testing.assert_allclose(np.asarray(a[path_k], np.float32),
+                                   np.asarray(b[path_k], np.float32),
+                                   err_msg=str(path_k))
+
+
+def test_wrapper_export_method():
+    """model.export_torch_state_dict() uses the factory-stashed rename map
+    (fc <-> last_linear for torchvision-family models)."""
+    model = pretorched_tpu.resnet18(num_classes=5, pretrained=None)
+    sd = model.export_torch_state_dict()
+    assert 'fc.weight' in sd and sd['fc.weight'].shape == (5, 512)
+    assert 'bn1.num_batches_tracked' in sd
+    assert 'conv1.weight' in sd and sd['conv1.weight'].shape == (64, 3, 7, 7)
