@@ -341,7 +341,8 @@ def main():
         # >= PALLAS_MIN_N, so the blockwise kernel is actually engaged
         # (16-frame clips give N=3136 and fall back to the XLA einsum)
         nl_frames = max(FRAMES, 32)
-        clip = jnp.asarray(rng.rand(8, nl_frames, SIZE, SIZE, 3),
+        nl_batch = int(os.environ.get('BENCH_NL_BATCH', '8'))
+        clip = jnp.asarray(rng.rand(nl_batch, nl_frames, SIZE, SIZE, 3),
                            jnp.bfloat16)
 
         def fwdn(c):

@@ -92,6 +92,78 @@ def fused_preprocess(batch_u8, settings, channels_last: bool = True,
                   preserve_aspect_ratio=preserve_aspect_ratio, dtype=dtype)
 
 
+@functools.partial(jax.jit, static_argnames=('spec', 'channels_last',
+                                             'preserve_aspect_ratio', 'dtype',
+                                             'random_vflip'))
+def _fused_train(batch_u8, key, spec, channels_last: bool = True,
+                 preserve_aspect_ratio: bool = True, dtype: str = 'float32',
+                 random_vflip: bool = False):
+    (input_size, input_space, input_range, mean, std, scale) = spec
+    crop = max(input_size)
+    b, h, w, c = batch_u8.shape
+    dt = jnp.dtype(dtype)
+    x = batch_u8.astype(dt) / jnp.asarray(255.0, dt)
+
+    if preserve_aspect_ratio:
+        target_short = int(math.floor(crop / scale))
+        if h <= w:
+            nh, nw = target_short, int(round(target_short * w / h))
+        else:
+            nh, nw = int(round(target_short * h / w)), target_short
+    else:
+        nh = int(input_size[1] / scale)
+        nw = int(input_size[2] / scale)
+    x = jax.image.resize(x, (b, nh, nw, c), method='bilinear', antialias=True)
+
+    # per-sample random crop position + coin-flip flips, all on device
+    # (reference: TransformImage(random_crop=True, random_hflip=True) ->
+    # torchvision RandomCrop/RandomHorizontalFlip on the host, one PIL image
+    # at a time; here one traced program covers the whole batch)
+    kt, kl, kh, kv = jax.random.split(key, 4)
+    tops = jax.random.randint(kt, (b,), 0, nh - crop + 1)
+    lefts = jax.random.randint(kl, (b,), 0, nw - crop + 1)
+    x = jax.vmap(
+        lambda img, t, l: jax.lax.dynamic_slice(img, (t, l, 0),
+                                                (crop, crop, c))
+    )(x, tops, lefts)
+    hflip = jax.random.bernoulli(kh, 0.5, (b,))
+    x = jnp.where(hflip[:, None, None, None], x[:, :, ::-1, :], x)
+    if random_vflip:
+        vflip = jax.random.bernoulli(kv, 0.5, (b,))
+        x = jnp.where(vflip[:, None, None, None], x[:, ::-1, :, :], x)
+
+    if input_space == 'BGR':
+        x = x[..., ::-1]
+    if max(input_range) == 255:
+        x = x * jnp.asarray(255.0, dt)
+    x = (x - jnp.asarray(mean, dt)) / jnp.asarray(std, dt)
+    if not channels_last:
+        x = jnp.transpose(x, (0, 3, 1, 2))
+    return x
+
+
+def fused_train_preprocess(batch_u8, settings, key, channels_last: bool = True,
+                           preserve_aspect_ratio: bool = True,
+                           dtype: str = 'float32',
+                           random_vflip: bool = False):
+    """Training-augmentation twin of ``fused_preprocess``: same device-fused
+    resize -> crop -> normalize chain, but the crop position is uniform
+    per sample and each sample is horizontally flipped with p=0.5 (plus
+    optional vertical flips), driven by a JAX PRNG ``key`` — deterministic
+    and reproducible, unlike the reference's global-RNG host transforms
+    (transforms/utils.py:61-71 random_crop/random_hflip/random_vflip).
+
+    uint8 (B, H, W, 3) host batch + key -> augmented normalized device batch.
+    """
+    batch_u8 = jnp.asarray(batch_u8)
+    if batch_u8.ndim == 3:
+        batch_u8 = batch_u8[None]
+    return _fused_train(batch_u8, key, _settings_tuple(settings),
+                        channels_last=channels_last,
+                        preserve_aspect_ratio=preserve_aspect_ratio,
+                        dtype=dtype, random_vflip=random_vflip)
+
+
 @functools.partial(jax.jit, static_argnames=('crop',))
 def ten_crop(x, crop: int):
     """Standard 10-crop eval: 4 corners + center, each with hflip.

@@ -187,3 +187,48 @@ def test_batch_iterator_error_propagates_no_hang():
     with pytest.raises(OSError, match='corrupt image'):
         for _ in batch_iterator(Bad(), 4, num_workers=2):
             pass
+
+
+def test_fused_train_augmentation():
+    """fused_train_preprocess: per-sample random crop + hflip on device,
+    PRNG-keyed (reference TransformImage(random_crop=True, random_hflip=True)
+    semantics, transforms/utils.py:61-71, without host PIL or global RNG)."""
+    import jax
+
+    from pretorched_tpu.transforms.fused import fused_train_preprocess
+
+    rng = np.random.RandomState(1)
+    raw = rng.randint(0, 255, (8, 280, 350, 3), np.uint8)
+    key = jax.random.PRNGKey(0)
+
+    out = np.asarray(fused_train_preprocess(raw, SETTINGS, key))
+    assert out.shape == (8, 224, 224, 3)
+    # deterministic under the same key, different under another
+    out2 = np.asarray(fused_train_preprocess(raw, SETTINGS, key))
+    np.testing.assert_array_equal(out, out2)
+    out3 = np.asarray(fused_train_preprocess(raw, SETTINGS,
+                                             jax.random.PRNGKey(7)))
+    assert np.abs(out - out3).max() > 1e-3
+
+    # normalization chain unchanged: batch statistics match the eval chain's
+    # (crops of the same images through the same affine)
+    full = np.asarray(fused_preprocess(raw, SETTINGS))
+    assert np.abs(out.mean() - full.mean()) < 0.2
+
+
+def test_fused_train_identity_when_no_freedom():
+    """When the resized plane exactly equals the crop size there is no crop
+    freedom: the train chain must equal the eval chain up to hflip."""
+    import jax
+
+    from pretorched_tpu.transforms.fused import fused_train_preprocess
+
+    s = dict(SETTINGS, scale=1.0)
+    rng = np.random.RandomState(2)
+    raw = rng.randint(0, 255, (6, 224, 224, 3), np.uint8)   # square -> 224x224
+    ev = np.asarray(fused_preprocess(raw, s))
+    tr = np.asarray(fused_train_preprocess(raw, s, jax.random.PRNGKey(3)))
+    match = np.abs(tr - ev).max(axis=(1, 2, 3)) < 1e-5
+    match_flip = np.abs(tr - ev[:, :, ::-1, :]).max(axis=(1, 2, 3)) < 1e-5
+    assert np.all(match | match_flip)
+    assert match.any() and match_flip.any()   # p=0.5 each over 6 samples...
