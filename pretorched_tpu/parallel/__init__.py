@@ -2,3 +2,5 @@ from .mesh import make_mesh, model_shardings  # noqa: F401
 from .dist import initialize  # noqa: F401
 from .evaluate import make_eval_step, sharded_accuracy_step  # noqa: F401
 from .train import make_train_step  # noqa: F401
+from .pipeline import (pipeline_apply, stack_block_params,  # noqa: F401
+                       stage_sharding, sequential_apply)

@@ -1,0 +1,128 @@
+"""Pipeline parallelism: a GPipe-style executor over a 'stage' mesh axis.
+
+The reference scales with a single data-parallel construct
+(``nn.DataParallel``, reference examples/imagenet_eval.py:136); everything
+deeper is out of its scope.  This module adds the TPU-native pipeline axis
+for the one place a conv zoo genuinely needs it: **very deep homogeneous
+trunks** (resnet3d-152/200's 36-block layer3, nonlocal towers) whose
+parameters or activations exceed one chip at long clips.
+
+Design (idiomatic JAX, per the scaling-book recipe — not a port of any
+torch pipeline engine):
+
+* The trunk is L repetitions of one block function ``block_fn(params, x)``
+  with identical activation shape in and out.  Per-block parameter trees are
+  stacked on a leading axis (``stack_block_params``) and sharded over the
+  mesh's 'stage' axis, so each of the S stage devices holds L/S blocks —
+  this is what makes pp a *memory* axis: parameter and optimizer bytes per
+  device drop S-fold.
+* ``pipeline_apply`` runs inside ``shard_map``: the batch is split into M
+  microbatches; a ``lax.scan`` over M+S-1 ticks shifts activations stage to
+  stage with ``lax.ppermute`` (one ICI hop per tick), each device applying
+  its local blocks (an inner scan) to the microbatch currently resident.
+  Stage 0 injects fresh microbatches; the last stage's outputs are
+  broadcast back with a masked ``psum``.  The pipeline bubble is the usual
+  (S-1)/(M+S-1) — choose M >= 4*S to keep it under ~20%.
+* Everything is differentiable (ppermute/scan have exact VJPs), so the same
+  executor serves training; with BN trunks, freeze batch stats (the usual
+  GPipe caveat: per-microbatch BN is not full-batch BN — see
+  ``make_train_step(accum_steps=...)`` notes in parallel/train.py).
+
+The 'data' axis composes on top: run ``pipeline_apply`` under a
+('data', 'stage') mesh with the batch sharded on 'data' — each data shard
+pipelines independently over its stage group (DP x PP).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def stack_block_params(params_list: Sequence):
+    """Stack L identically-shaped per-block param trees on a new leading
+    axis -> one tree of (L, ...) leaves, ready to shard on 'stage'."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def stage_sharding(mesh: Mesh, stacked_params, axis: str = 'stage'):
+    """NamedSharding pytree: leading (block) axis sharded over `axis`."""
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda _: sh, stacked_params)
+
+
+def pipeline_apply(block_fn: Callable, stacked_params, x, mesh: Mesh,
+                   *, n_micro: int, stage_axis: str = 'stage',
+                   batch_axes: Sequence[str] = ()):
+    """Apply L stacked blocks to ``x`` pipelined over the 'stage' mesh axis.
+
+    Args:
+      block_fn: ``(one_block_params, x_micro) -> x_micro`` — same shape out
+        as in (homogeneous trunk).
+      stacked_params: pytree with leading axis L (see ``stack_block_params``),
+        L divisible by the stage-axis size. Shard it with ``stage_sharding``
+        (replicated input also works — shard_map slices it — but then pp
+        saves no memory).
+      x: (B, ...) batch; B divisible by ``n_micro`` (and by the 'data' axis
+        size if ``batch_axes`` names one).
+      n_micro: number of microbatches M. Bubble fraction = (S-1)/(M+S-1).
+      batch_axes: mesh axes the batch dim is sharded over (DP composition).
+
+    Returns (B, ...) outputs, numerically identical to applying the L blocks
+    sequentially (scan order = stacking order).
+    """
+    S = mesh.shape[stage_axis]
+    assert x.shape[0] % n_micro == 0, (x.shape, n_micro)
+
+    def staged(params_local, x_local):
+        # params_local: (L/S, ...) this stage's blocks; x_local: full batch
+        # for this data shard.
+        stage = lax.axis_index(stage_axis)
+        micro = x_local.shape[0] // n_micro
+        xs = x_local.reshape((n_micro, micro) + x_local.shape[1:])
+        # pad the microbatch stream with S-1 dummy ticks to drain the pipe
+        pad = jnp.zeros((S - 1,) + xs.shape[1:], xs.dtype)
+        stream = jnp.concatenate([xs, pad], axis=0) if S > 1 else xs
+
+        fwd = [(i, i + 1) for i in range(S - 1)]  # non-wrapping shift
+
+        def local_blocks(h):
+            def body(h, p):
+                return block_fn(p, h), None
+            h, _ = lax.scan(body, h, params_local)
+            return h
+
+        def tick(state, mb):
+            inp = lax.ppermute(state, stage_axis, fwd) if S > 1 else state
+            inp = jnp.where(stage == 0, mb, inp)
+            out = local_blocks(inp)
+            return out, out
+
+        state0 = jnp.zeros(xs.shape[1:], xs.dtype)
+        _, ys = lax.scan(tick, state0, stream)
+        # microbatch j exits the last stage at tick S-1+j
+        ys = ys[S - 1:]
+        # broadcast the last stage's outputs to every stage device so the
+        # shard_map output is well-defined replicated-over-'stage'
+        if S > 1:
+            mask = (stage == S - 1).astype(ys.dtype)
+            ys = lax.psum(ys * mask, stage_axis)
+        return ys.reshape(x_local.shape)
+
+    bspec = P(tuple(batch_axes) if batch_axes else None)
+    pspec = jax.tree_util.tree_map(lambda _: P(stage_axis), stacked_params)
+    fn = jax.shard_map(staged, mesh=mesh, in_specs=(pspec, bspec),
+                       out_specs=bspec, check_vma=False)
+    return fn(stacked_params, x)
+
+
+def sequential_apply(block_fn: Callable, stacked_params, x):
+    """Oracle: the same L blocks applied as a plain sequential scan."""
+    def body(h, p):
+        return block_fn(p, h), None
+    out, _ = lax.scan(body, x, stacked_params)
+    return out
