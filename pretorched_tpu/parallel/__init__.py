@@ -4,3 +4,4 @@ from .evaluate import make_eval_step, sharded_accuracy_step  # noqa: F401
 from .train import make_train_step  # noqa: F401
 from .pipeline import (pipeline_apply, stack_block_params,  # noqa: F401
                        stage_sharding, sequential_apply)
+from .moe import moe_apply, expert_sharding  # noqa: F401
