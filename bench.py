@@ -485,7 +485,6 @@ def main():
         # b16 keeps the MSTRN graph's remote compile tractable — at b64 the
         # axon tunnel's remote_compile breaks (r3: broken pipe after ~25min)
         tb = int(os.environ.get('BENCH_TRN_BATCH', str(min(BATCH, 16))))
-        clip = jnp.asarray(rng.rand(tb, 8, SIZE, SIZE, 3), jnp.bfloat16)
         iters = max(ITERS // 2, 5)
 
         # No scan wrapper here: the MSTRN graph compiles ~3x slower than the
@@ -494,19 +493,35 @@ def main():
         # axon tunnel's remote_compile past its ~25min proxy timeout (broken
         # pipe, r3 — at b64 AND b16). Compile just the forward and chain
         # jitted calls through a carry so completion is still forced.
+        # Variables are a jit ARGUMENT, not a closure: the MSTRN head's
+        # relation MLPs hold ~75M params, and closure constants get inlined
+        # into the serialized StableHLO — ~200MB of bf16 weights that blew
+        # the tunnel proxy's request-body limit (HTTP 413, r3).
+        tvars = trn.variables
+
         @jax.jit
-        def fwdt(c):
-            out = trn.apply(trn.variables, c)[0, 0]
+        def fwdt(v, c):
+            out = trn.apply(v, c)[0, 0]
             return c + (out * 0).astype(c.dtype), out
 
-        t0 = time.perf_counter()
-        clip, out = fwdt(clip)
-        jax.device_get(out)
-        print(f'# trn-mstrn b{tb} compile+first: '
-              f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
+        while True:  # same OOM batch-halving the timed_scan rows get
+            clip = jnp.asarray(rng.rand(tb, 8, SIZE, SIZE, 3), jnp.bfloat16)
+            try:
+                t0 = time.perf_counter()
+                clip, out = fwdt(tvars, clip)
+                jax.device_get(out)
+                print(f'# trn-mstrn b{tb} compile+first: '
+                      f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
+                break
+            except Exception as e:
+                if not _is_oom(e) or tb <= 2:
+                    raise
+                print(f'# trn-mstrn b{tb} OOM; retrying b{tb // 2}',
+                      file=sys.stderr)
+                tb //= 2
         t0 = time.perf_counter()
         for _ in range(iters):
-            clip, out = fwdt(clip)
+            clip, out = fwdt(tvars, clip)
         jax.device_get(out)                     # chains all iters
         dt = (time.perf_counter() - t0) / iters
         rows.append({

@@ -16,7 +16,8 @@ TPU-native formulation (dense dispatch, the GSPMD recipe — not a port):
   the mesh's 'expert' axis via ``with_sharding_constraint`` — XLA inserts
   the all-to-all-style collectives from the sharding alone.
 * ``aux_load_balancing_loss`` is the Switch Transformer auxiliary loss
-  (mean fraction-of-tokens x mean router-prob per expert, scaled by E).
+  E * sum_e(f_e * p_e): fraction-of-tokens times mean router-prob per
+  expert, summed over experts and scaled by E (== 1 at perfect balance).
 
 Everything is jit-traceable and differentiable (straight-through the
 one-hot dispatch, as standard).
@@ -65,7 +66,10 @@ def moe_dispatch(router_logits, capacity: int):
 
 
 def aux_load_balancing_loss(metrics) -> jnp.ndarray:
-    """Switch Transformer load-balancing loss: E * mean_e(f_e * p_e)."""
+    """Switch Transformer load-balancing loss: E * sum_e(f_e * p_e).
+
+    f_e = fraction of tokens routed to expert e, p_e = mean router prob of
+    expert e; equals 1 at perfectly uniform routing, larger when skewed."""
     probs, onehot = metrics['router_probs'], metrics['expert_onehot']
     E = probs.shape[-1]
     f = jnp.mean(onehot, axis=0)      # fraction of tokens per expert

@@ -76,7 +76,12 @@ def pipeline_apply(block_fn: Callable, stacked_params, x, mesh: Mesh,
     sequentially (scan order = stacking order).
     """
     S = mesh.shape[stage_axis]
-    assert x.shape[0] % n_micro == 0, (x.shape, n_micro)
+    dp = 1
+    for a in batch_axes:
+        dp *= mesh.shape[a]
+    assert x.shape[0] % (dp * n_micro) == 0, (
+        f'batch {x.shape[0]} must divide by data shards ({dp}) x '
+        f'microbatches ({n_micro})')
 
     def staged(params_local, x_local):
         # params_local: (L/S, ...) this stage's blocks; x_local: full batch
@@ -107,10 +112,14 @@ def pipeline_apply(block_fn: Callable, stacked_params, x, mesh: Mesh,
         # microbatch j exits the last stage at tick S-1+j
         ys = ys[S - 1:]
         # broadcast the last stage's outputs to every stage device so the
-        # shard_map output is well-defined replicated-over-'stage'
+        # shard_map output is well-defined replicated-over-'stage'.
+        # jnp.where (not multiply-by-mask): warm-up/drain ticks run blocks
+        # on zero-filled activations, and a block that is non-finite on
+        # zeros (norm-by-magnitude, -inf masking) must not leak NaN*0
+        # into the psum.
         if S > 1:
-            mask = (stage == S - 1).astype(ys.dtype)
-            ys = lax.psum(ys * mask, stage_axis)
+            ys = lax.psum(jnp.where(stage == S - 1, ys,
+                                    jnp.zeros_like(ys)), stage_axis)
         return ys.reshape(x_local.shape)
 
     bspec = P(tuple(batch_axes) if batch_axes else None)

@@ -60,6 +60,19 @@ def _affine_consts(input_range, mean, std, dt):
     return jnp.asarray(mul, dt), jnp.asarray(add, dt)
 
 
+def _finalize(x, input_space, input_range, mean, std, dt, channels_last):
+    """Shared tail of the eval and train chains: channel order, the
+    normalize FMA, and the layout transpose — one definition so the two
+    jitted bodies cannot drift apart."""
+    if input_space == 'BGR':
+        x = x[..., ::-1]
+    mul, add = _affine_consts(input_range, mean, std, dt)
+    x = x * mul + add
+    if not channels_last:
+        x = jnp.transpose(x, (0, 3, 1, 2))
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=('spec', 'channels_last',
                                              'preserve_aspect_ratio', 'dtype'))
 def _fused(batch_u8, spec, channels_last: bool = True,
@@ -97,13 +110,8 @@ def _fused(batch_u8, spec, channels_last: bool = True,
             translation=jnp.asarray([-float(top), -float(left)], jnp.float32),
             method='bilinear', antialias=True)
 
-    if input_space == 'BGR':
-        x = x[..., ::-1]
-    mul, add = _affine_consts(input_range, mean, std, dt)
-    x = x * mul + add
-    if not channels_last:
-        x = jnp.transpose(x, (0, 3, 1, 2))
-    return x
+    return _finalize(x, input_space, input_range, mean, std, dt,
+                     channels_last)
 
 
 def fused_preprocess(batch_u8, settings, channels_last: bool = True,
@@ -163,13 +171,8 @@ def _fused_train(batch_u8, key, spec, channels_last: bool = True,
     if identity_resize:
         x = x.astype(dt)      # cast only the crop^2 window
 
-    if input_space == 'BGR':
-        x = x[..., ::-1]
-    mul, add = _affine_consts(input_range, mean, std, dt)
-    x = x * mul + add
-    if not channels_last:
-        x = jnp.transpose(x, (0, 3, 1, 2))
-    return x
+    return _finalize(x, input_space, input_range, mean, std, dt,
+                     channels_last)
 
 
 def fused_train_preprocess(batch_u8, settings, key, channels_last: bool = True,

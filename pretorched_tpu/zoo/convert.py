@@ -264,12 +264,13 @@ def to_torch_state_dict(variables: dict,
             value = value.astype(np.float32)
         sd[tkey] = np.ascontiguousarray(_to_torch_layout(value, path))
         if path[0] == 'batch_stats':
-            bn_prefixes.add('.'.join(path[1:-1]))
-    for prefix in bn_prefixes:
-        tprefix = prefix
-        if renames and prefix in renames:
-            tprefix = renames[prefix]
-        sd[f'{tprefix}.num_batches_tracked'] = np.asarray(0, np.int64)
+            # the torch BN prefix is whatever torch_key_for produced
+            # (exact or regex rename), minus the leaf suffix
+            bn_prefixes.add(tkey.rsplit('.', 1)[0] if '.' in tkey else '')
+    for tprefix in bn_prefixes:
+        key = f'{tprefix}.num_batches_tracked' if tprefix \
+            else 'num_batches_tracked'
+        sd[key] = np.asarray(0, np.int64)
     return sd
 
 

@@ -98,6 +98,47 @@ def test_pipeline_composes_with_data_parallel(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pipeline_batch_guard_counts_data_shards(rng):
+    # B=12 passes 12 % 4 == 0 but each of 2 data shards holds 6 rows,
+    # which 4 microbatches cannot split — must fail fast with the clear
+    # assert, not an opaque reshape error inside shard_map.
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ('data', 'stage'))
+    block, stacked = _blocks(rng, n_blocks=4)
+
+    def block_fn(p, x):
+        return block.apply({'params': p}, x)
+
+    x = jnp.asarray(rng.randn(12, 6, 6, 8), jnp.float32)
+    xb = jax.device_put(x, NamedSharding(mesh, P('data')))
+    stacked_sh = jax.device_put(stacked, stage_sharding(mesh, stacked))
+    with pytest.raises(AssertionError, match='data shards'):
+        pipeline_apply(block_fn, stacked_sh, xb, mesh, n_micro=4,
+                       batch_axes=('data',))
+
+
+def test_pipeline_masks_nonfinite_warmup_ticks(rng):
+    # a block that is non-finite on the zero-filled warm-up/drain
+    # activations must not leak NaN into real outputs through the
+    # broadcast psum
+    stages, n_micro = 4, 4
+    mesh = Mesh(np.asarray(jax.devices()[:stages]), ('stage',))
+
+    def block_fn(p, x):
+        # per-sample norm (batch-decoupled, as a pipelined trunk must be);
+        # NaN on the zero-filled warm-up activations
+        return p['s'] * x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    stacked = {'s': jnp.ones((stages, 1))}
+    x = jnp.abs(jnp.asarray(rng.randn(8, 4), jnp.float32)) + 0.1
+    out = pipeline_apply(block_fn, stacked, x, mesh, n_micro=n_micro)
+    ref = sequential_apply(block_fn, jax.tree_util.tree_map(lambda l: l,
+                                                            stacked), x)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_stage_sharding_splits_param_memory(rng):
     stages = 4
     mesh = Mesh(np.asarray(jax.devices()[:stages]), ('stage',))

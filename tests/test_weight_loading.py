@@ -151,3 +151,22 @@ def test_wrapper_export_method():
     assert 'fc.weight' in sd and sd['fc.weight'].shape == (5, 512)
     assert 'bn1.num_batches_tracked' in sd
     assert 'conv1.weight' in sd and sd['conv1.weight'].shape == (64, 3, 7, 7)
+
+
+def test_export_num_batches_tracked_respects_regex_renames():
+    """The BN num_batches_tracked prefix must follow torch_key_for's full
+    rename logic (exact AND ^-regex), not just exact-match lookup."""
+    from pretorched_tpu.zoo import convert
+    variables = {
+        'params': {'features.0': {'kernel': np.zeros((1, 1, 3, 4),
+                                                     np.float32)},
+                   'features.1': {'scale': np.ones(4, np.float32),
+                                  'bias': np.zeros(4, np.float32)}},
+        'batch_stats': {'features.1': {'mean': np.zeros(4, np.float32),
+                                       'var': np.ones(4, np.float32)}},
+    }
+    renames = {'^features\\.': 'trunk.'}
+    sd = convert.to_torch_state_dict(variables, renames=renames)
+    assert 'trunk.1.running_mean' in sd
+    assert 'trunk.1.num_batches_tracked' in sd
+    assert not any(k.startswith('features.') for k in sd)
