@@ -42,6 +42,12 @@ instead chains donated jitted steps from Python — a scan would discard
 buffer donation (inner-jit donation is ignored under tracing) and OOM at
 b128 — with completion forced the same way through the steps' data
 dependencies.
+
+Model variables are always jit ARGUMENTS, never closures: closed-over
+weights are inlined as dense constants into the serialized StableHLO the
+tunnel uploads per compile — measured r3, that made every row's compile
+minutes-long (multiclip 408s) and drew HTTP 413 on the ~200MB MSTRN head;
+as arguments, the uploaded program carries only shapes.
 """
 
 import dataclasses
@@ -121,17 +127,24 @@ def main():
             out['notes'] = notes
         print(json.dumps(out), flush=True)
 
-    def timed_scan(apply_fn, x, iters, tag):
-        """sec/iter of apply_fn(x) with OOM batch-halving; returns
-        (sec_per_iter, batch_used)."""
+    def timed_scan(apply_fn, variables, x, iters, tag):
+        """sec/iter of apply_fn(variables, x) with OOM batch-halving;
+        returns (sec_per_iter, batch_used).
+
+        ``variables`` is a jit ARGUMENT, never a closure: closed-over
+        weights get inlined as dense constants into the serialized
+        StableHLO that the axon tunnel uploads to its remote compiler —
+        measured r3: the MSTRN head's ~200MB of constants drew HTTP 413,
+        and converting it to an argument cut that row's compile+first
+        from tunnel-breaking (~25min) to 16s."""
         batch = x.shape[0]
         while True:
             xb = x[:batch]
 
             @jax.jit
-            def many(xb):
+            def many(v, xb):
                 def body(carry, _):
-                    out = apply_fn(carry)
+                    out = apply_fn(v, carry)
                     carry = carry + (out * 0).astype(carry.dtype)
                     return carry, jnp.float32(jnp.sum(out.astype(jnp.float32)))
                 _, outs = jax.lax.scan(body, xb, None, length=iters)
@@ -139,7 +152,7 @@ def main():
 
             try:
                 t0 = time.perf_counter()
-                jax.device_get(many(xb))
+                jax.device_get(many(variables, xb))
                 print(f'# {tag} b{batch} compile+first: '
                       f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
                 break
@@ -150,7 +163,7 @@ def main():
                       file=sys.stderr)
                 batch //= 2
         t0 = time.perf_counter()
-        jax.device_get(many(xb))
+        jax.device_get(many(variables, xb))
         return (time.perf_counter() - t0) / iters, batch
 
     def cost_flops(jitted, *args):
@@ -176,10 +189,10 @@ def main():
         clip = jnp.asarray(rng.rand(BATCH, FRAMES, SIZE, SIZE, 3),
                            jnp.bfloat16)
 
-        def fwd(c):
-            return module.apply(variables, c)[0, 0]
+        def fwd(v, c):
+            return module.apply(v, c)[0, 0]
 
-        dt, b = timed_scan(fwd, clip, ITERS, 'resnet3d50')
+        dt, b = timed_scan(fwd, variables, clip, ITERS, 'resnet3d50')
         clips_s = b / dt
         # roofline: XLA cost analysis of one forward
         fwd1 = jax.jit(lambda v, c: module.apply(v, c))
@@ -275,10 +288,10 @@ def main():
         m2.bfloat16()
         img = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3), jnp.bfloat16)
 
-        def fwd2(x):
-            return m2.apply(m2.variables, x)[0, 0]
+        def fwd2(v, x):
+            return m2.apply(v, x)[0, 0]
 
-        dt, b = timed_scan(fwd2, img, ITERS, 'resnet50-2d')
+        dt, b = timed_scan(fwd2, m2.variables, img, ITERS, 'resnet50-2d')
         rows.append({'metric': f'resnet50 2D {SIZE}px bf16 img/sec/chip',
                      'value': round(b / dt, 1), 'unit': 'img/s', 'batch': b})
 
@@ -286,6 +299,9 @@ def main():
     def row_slowfast():
         sf = pretorched.slowfast_resnet50(num_classes=400, pretrained=None)
         sf.bfloat16()
+        # exact s2d folding of BOTH pathway stems (fast (5,7,7), slow
+        # (1,7,7)) — same trick as the headline row, bit-identical outputs
+        module = dataclasses.replace(sf.module, s2d_stem=True)
         # SlowFast consumes the full 64-frame clip and strides internally
         # (slow /16, fast /2 — reference slowfast.py:390-395)
         sf_frames = max(FRAMES, 64)
@@ -294,16 +310,17 @@ def main():
         clip = jnp.asarray(rng.rand(sf_batch, sf_frames, SIZE, SIZE, 3),
                            jnp.bfloat16)
 
-        def fwds(c):
-            return sf.apply(sf.variables, c)[0, 0]
+        def fwds(v, c):
+            return module.apply(v, c)[0, 0]
 
-        dt, b = timed_scan(fwds, clip, max(ITERS // 2, 5), 'slowfast50')
+        dt, b = timed_scan(fwds, sf.variables, clip, max(ITERS // 2, 5),
+                           'slowfast50')
         clips_s = b / dt
-        fwd1 = jax.jit(lambda v, c: sf.module.apply(v, c))
+        fwd1 = jax.jit(lambda v, c: module.apply(v, c))
         flops_fwd = cost_flops(fwd1, sf.variables, clip[:b])
         rows.append({
             'metric': (f'slowfast_resnet50 {sf_frames}f{SIZE}px bf16 '
-                       f'clips/sec/chip'),
+                       f'clips/sec/chip (s2d stems)'),
             'value': round(clips_s, 2), 'unit': 'clips/s', 'batch': b,
             'gflops_per_clip': round(flops_fwd / b / 1e9, 1),
             'mfu': round(flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS, 3)})
@@ -319,10 +336,11 @@ def main():
         clip = jnp.asarray(rng.rand(r21_batch, FRAMES, r21_size, r21_size, 3),
                            jnp.bfloat16)
 
-        def fwdr(c):
-            return r21.apply(r21.variables, c)[0, 0]
+        def fwdr(v, c):
+            return r21.apply(v, c)[0, 0]
 
-        dt, b = timed_scan(fwdr, clip, max(ITERS // 2, 5), 'r2plus1d50')
+        dt, b = timed_scan(fwdr, r21.variables, clip, max(ITERS // 2, 5),
+                           'r2plus1d50')
         clips_s = b / dt
         fwd1 = jax.jit(lambda v, c: r21.module.apply(v, c))
         flops_fwd = cost_flops(fwd1, r21.variables, clip[:b])
@@ -345,10 +363,11 @@ def main():
         clip = jnp.asarray(rng.rand(nl_batch, nl_frames, SIZE, SIZE, 3),
                            jnp.bfloat16)
 
-        def fwdn(c):
-            return nl.apply(nl.variables, c)[0, 0]
+        def fwdn(v, c):
+            return nl.apply(v, c)[0, 0]
 
-        dt, b = timed_scan(fwdn, clip, max(ITERS // 2, 5), 'nonlocal3d50')
+        dt, b = timed_scan(fwdn, nl.variables, clip, max(ITERS // 2, 5),
+                           'nonlocal3d50')
         rows.append({
             'metric': (f'nonlocalresnet3d50 {nl_frames}f{SIZE}px bf16 '
                        f'clips/sec/chip (Pallas blockwise, layer2 N=6272)'),
@@ -365,14 +384,15 @@ def main():
         vids = jnp.asarray(rng.rand(12, nclips, FRAMES, SIZE, SIZE, 3),
                            jnp.bfloat16)
 
-        def consensus(c):
+        def consensus(v, c):
             b, n = c.shape[:2]
             flat = c.reshape((b * n,) + c.shape[2:])
-            logits = module.apply(variables, flat).astype(jnp.float32)
+            logits = module.apply(v, flat).astype(jnp.float32)
             probs = jnp.mean(jax.nn.softmax(logits.reshape(b, n, -1), -1), 1)
             return jnp.max(probs)       # scalar dependency
 
-        dt, b = timed_scan(consensus, vids, max(ITERS // 2, 5), 'multiclip')
+        dt, b = timed_scan(consensus, variables, vids, max(ITERS // 2, 5),
+                           'multiclip')
         rows.append({
             'metric': (f'resnet3d50 10-clip consensus eval {FRAMES}f{SIZE}px '
                        f'bf16 videos/sec/chip'),
@@ -393,14 +413,14 @@ def main():
             'input_range': [0, 1], 'mean': [0.485, 0.456, 0.406],
             'std': [0.229, 0.224, 0.225]})
 
-        def pipe(u8):
+        def pipe(v, u8):
             b, t = u8.shape[:2]
             frames = u8.reshape((b * t,) + u8.shape[2:])
             # bf16 end-to-end: the resize matmuls ride the MXU bf16 path and
             # the chain moves half the HBM bytes (the model is bf16 anyway)
             x = _fused(frames, spec, dtype='bfloat16')   # resize/crop/norm
             x = x.reshape((b, t) + x.shape[1:])
-            return module.apply(variables, x)[0, 0]
+            return module.apply(v, x)[0, 0]
 
         pbatch = min(BATCH, 128)
         iters = max(ITERS // 2, 5)
@@ -411,9 +431,9 @@ def main():
             # uint8 input: thread a zero-valued uint8 carry into the input so
             # the loop body can't be hoisted as loop-invariant
             @jax.jit
-            def many(u8):
+            def many(v, u8):
                 def body(carry, _):
-                    out = pipe(u8 + carry)
+                    out = pipe(v, u8 + carry)
                     return (out * 0).astype(jnp.uint8), out
                 _, outs = jax.lax.scan(body, jnp.uint8(0), None,
                                        length=iters)
@@ -421,7 +441,7 @@ def main():
 
             try:
                 t0 = time.perf_counter()
-                jax.device_get(many(raw))
+                jax.device_get(many(variables, raw))
                 print(f'# pipeline b{pbatch} compile+first: '
                       f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
                 break
@@ -434,7 +454,7 @@ def main():
                 raw = many = None
                 gc.collect()
         t0 = time.perf_counter()
-        jax.device_get(many(raw))
+        jax.device_get(many(variables, raw))
         dt = (time.perf_counter() - t0) / iters
         rows.append({
             'metric': (f'fused uint8 256px->preprocess->{SIZE}px forward '

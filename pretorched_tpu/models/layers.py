@@ -130,7 +130,8 @@ class SpaceToDepthConv(nn.Module):
     better MXU lane utilization on 3-channel stems."""
 
     features: int
-    kernel_size: int = 7          # odd, pad = k//2, spatial stride 2
+    kernel_size: Any = 7          # int, or (kt, kh, kw) for ndim=3 with
+    #                               kh == kw odd; temporal stride stays 1
     ndim: int = 3                 # 3 -> NDHWC with stride (1,2,2); 2 -> NHWC
     dtype: Any = None
     kernel_init: Any = None
@@ -140,9 +141,13 @@ class SpaceToDepthConv(nn.Module):
         from ..ops.space_to_depth import (fold_stem_kernel_2d,
                                           fold_stem_kernel_3d,
                                           space_to_depth_2d)
-        k = self.kernel_size
+        ks = self.kernel_size
+        if isinstance(ks, int):
+            ks = (ks,) * self.ndim
+        kt = ks[0] if self.ndim == 3 else None
+        k = ks[-1]                 # spatial size (square)
         in_ch = x.shape[-1]
-        shape = ((k, k, k, in_ch, self.features) if self.ndim == 3
+        shape = ((kt, k, k, in_ch, self.features) if self.ndim == 3
                  else (k, k, in_ch, self.features))
         kernel = self.param('kernel', self.kernel_init or kaiming_normal_out,
                             shape, jnp.float32)
@@ -155,7 +160,7 @@ class SpaceToDepthConv(nn.Module):
             if self.ndim == 3:
                 return jax.lax.conv_general_dilated(
                     x.astype(dtype), kernel.astype(dtype), (1, 2, 2),
-                    [(k // 2, k // 2)] * 3,
+                    [(kt // 2, kt // 2), (k // 2, k // 2), (k // 2, k // 2)],
                     dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
             return jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel.astype(dtype), (2, 2),
@@ -165,7 +170,8 @@ class SpaceToDepthConv(nn.Module):
         if self.ndim == 3:
             kf = fold_stem_kernel_3d(kernel).astype(dtype)
             return jax.lax.conv_general_dilated(
-                xf, kf, (1, 1, 1), [(k // 2, k // 2), (0, 0), (0, 0)],
+                xf, kf, (1, 1, 1),
+                [(kt // 2, kt // 2), (0, 0), (0, 0)],
                 dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
         kf = fold_stem_kernel_2d(kernel).astype(dtype)
         return jax.lax.conv_general_dilated(

@@ -35,6 +35,7 @@ class SlowFast(nn.Module):
     dropout_rate: float = 0.5
     slow_stride: int = 16
     fast_stride: int = 2
+    s2d_stem: bool = False        # fold both pathways' stride-(1,2,2) stems
     dtype: Any = None
 
     @property
@@ -42,9 +43,17 @@ class SlowFast(nn.Module):
         return 4 if self.block == 'bottleneck' else 1
 
     def _cbr(self, x, ch, kernel, name, stride=1, padding=0, bias=False,
-             train=False, act=True):
-        x = conv3d(ch, kernel, stride=stride, padding=padding, bias=bias,
-                   name=name, dtype=self.dtype)(x)
+             train=False, act=True, s2d=False):
+        if s2d:
+            # exact space-to-depth folding of the stride-(1,2,2) stem
+            # (ops/space_to_depth.py): same stored kernel, same math,
+            # 4x better MXU lane use on the 3-channel input
+            from .layers import SpaceToDepthConv
+            x = SpaceToDepthConv(ch, kernel, ndim=3, dtype=self.dtype,
+                                 name=name)(x)
+        else:
+            x = conv3d(ch, kernel, stride=stride, padding=padding, bias=bias,
+                       name=name, dtype=self.dtype)(x)
         x = batch_norm(train=train, name=name.replace('conv', 'bn'),
                        dtype=self.dtype)(x)
         return relu(x) if act else x
@@ -105,7 +114,7 @@ class SlowFast(nn.Module):
     def _fast(self, x, train, laterals: bool):
         p = 'fast'
         x = self._cbr(x, 8, (5, 7, 7), f'{p}.conv1', stride=(1, 2, 2),
-                      padding=(2, 3, 3), train=train)
+                      padding=(2, 3, 3), train=train, s2d=self.s2d_stem)
         x = max_pool(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         lat = []
         if laterals:
@@ -128,7 +137,7 @@ class SlowFast(nn.Module):
     def _slow(self, x, lateral, train):
         p = 'slow'
         x = self._cbr(x, 64, (1, 7, 7), f'{p}.conv1', stride=(1, 2, 2),
-                      padding=(0, 3, 3), train=train)
+                      padding=(0, 3, 3), train=train, s2d=self.s2d_stem)
         x = max_pool(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         res3_stride = 2 if self.block == 'bottleneck' else 1
         fuse = lateral is not None

@@ -1,0 +1,227 @@
+"""Online inference serving: a dynamic-batching executor for the zoo.
+
+The reference deploys its models behind ad-hoc scripts (one
+``model(batch)`` at a time, examples/imagenet_eval.py:118-133); serving
+many concurrent, individually-arriving requests on a TPU needs the piece
+torch gets from its serving frameworks: **dynamic batching onto static
+shapes**. XLA compiles one program per batch size, so a naive
+per-request forward both recompiles and wastes the MXU at batch 1.
+
+``InferenceServer`` is the TPU-native executor:
+
+* Requests (single examples or small batches) enter a queue and return a
+  ``Future`` immediately.
+* A background batcher thread coalesces whatever is queued — up to
+  ``max_batch``, waiting at most ``max_wait_ms`` for stragglers — and pads
+  the coalesced batch up to a power-of-two **bucket**, so any traffic
+  pattern hits a bounded compile set ({1, 2, 4, ..., max_batch} at most).
+  Padding rows are compute waste only; they are sliced off before the
+  futures resolve, so results are exactly the single-request outputs.
+* The forward is one jitted function with variables passed as an argument
+  (weights live on device; the compiled program carries only shapes), and
+  dispatch is async — the batcher thread enqueues the next bucket while
+  the device still computes the previous one, overlapping host batching
+  with TPU compute.
+
+Single-process, single-module executor by design: shard the model over a
+mesh *inside* ``apply_fn`` (e.g. with the ``parallel`` layer's shardings)
+and this server scales to a pod slice unchanged — the queue/bucket logic
+is host-side and sharding-agnostic.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class InferenceServer:
+    """Dynamic-batching executor over one jittable forward.
+
+    Args:
+      apply_fn: ``(variables, batch) -> outputs`` with outputs' leading axis
+        matching the batch's. Jitted internally (one compile per bucket).
+      variables: the model's variable pytree (device-resident is best).
+      max_batch: upper bucket bound (also the largest coalesced batch).
+      max_wait_ms: how long the batcher waits for more requests once it has
+        at least one (latency/throughput knob; 0 = greedy drain only).
+      example_ndim: rank of ONE example (e.g. 4 for a video clip THWC);
+        ``submit`` accepts one example or a batch (rank +1) of them.
+    """
+
+    def __init__(self, apply_fn: Callable, variables, *, max_batch: int = 64,
+                 max_wait_ms: float = 2.0, example_ndim: Optional[int] = None):
+        self._fn = jax.jit(apply_fn)
+        self._variables = variables
+        self.max_batch = int(max_batch)
+        self.max_wait = max_wait_ms / 1000.0
+        self.example_ndim = example_ndim
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self._exc: Optional[BaseException] = None
+        self.bucket_compiles: set = set()      # batch sizes seen (telemetry)
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name='pretorched-serving-batcher')
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+    def submit(self, x) -> Future:
+        """Enqueue one example (example_ndim) or a batch of them; returns a
+        Future resolving to the corresponding output (leading axis dropped
+        for single examples)."""
+        if self._closed:
+            raise RuntimeError('server is closed')
+        if self._exc is not None:
+            raise RuntimeError('server batcher died') from self._exc
+        x = np.asarray(x)
+        single = self.example_ndim is not None and x.ndim == self.example_ndim
+        if single:
+            x = x[None]
+        if x.shape[0] > self.max_batch:
+            raise ValueError(f'batch {x.shape[0]} > max_batch '
+                             f'{self.max_batch}; split the request')
+        fut: Future = Future()
+        self._q.put((x, single, fut))
+        return fut
+
+    def __call__(self, x):
+        """Synchronous convenience: submit + wait."""
+        return self.submit(x).result()
+
+    def close(self, timeout: float = 30.0):
+        """Drain outstanding requests and stop the batcher thread."""
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)                  # wake the batcher
+            self._thread.join(timeout)
+        if self._exc is not None:
+            raise RuntimeError('server batcher died') from self._exc
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------ batcher
+    def _take_batch(self):
+        """Collect queued requests up to max_batch (None = shutdown)."""
+        item = self._q.get()
+        if item is None:
+            return None
+        items = [item]
+        n = item[0].shape[0]
+        t_end = time.monotonic() + self.max_wait
+        while n < self.max_batch:
+            try:
+                timeout = t_end - time.monotonic()
+                nxt = self._q.get(timeout=max(timeout, 0)) \
+                    if timeout > 0 else self._q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)              # re-signal shutdown
+                break
+            if n + nxt[0].shape[0] > self.max_batch:
+                # doesn't fit this bucket: run it in the next one
+                self._q.put(nxt)
+                break
+            items.append(nxt)
+            n += nxt[0].shape[0]
+        return items
+
+    def _loop(self):
+        pending = None                          # (items, n, async result)
+        items = None                            # batch being dispatched
+        try:
+            while True:
+                # resolve the in-flight bucket as soon as there's no new
+                # work to overlap it with (otherwise its futures would wait
+                # for the NEXT request to arrive)
+                if pending is not None and self._q.empty():
+                    p, pending = pending, None
+                    self._resolve(*p)
+                    continue
+                items = self._take_batch()
+                if items is None:
+                    break
+                xs = np.concatenate([x for x, _, _ in items], axis=0)
+                n = xs.shape[0]
+                bucket = min(_next_pow2(n), self.max_batch)
+                if bucket > n:                  # pad with the last row
+                    pad = np.broadcast_to(xs[-1:],
+                                          (bucket - n,) + xs.shape[1:])
+                    xs = np.concatenate([xs, pad], axis=0)
+                self.bucket_compiles.add(bucket)
+                # async dispatch: don't block on the device here — the next
+                # bucket is batched/dispatched while this one computes
+                out = self._fn(self._variables, jnp.asarray(xs))
+                if pending is not None:
+                    self._resolve(*pending)
+                pending = (items, n, out)
+                items = None
+            if pending is not None:
+                self._resolve(*pending)
+        except BaseException as e:              # propagate to clients
+            self._exc = e
+            in_flight = list(items or [])
+            if pending is not None:
+                in_flight.extend(pending[0])
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    in_flight.append(item)
+            for _, _, fut in in_flight:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    @staticmethod
+    def _split_outputs(out, start, stop):
+        return jax.tree_util.tree_map(lambda o: o[start:stop], out)
+
+    def _resolve(self, items, n, out):
+        out = jax.device_get(self._split_outputs(out, 0, n))
+        off = 0
+        for x, single, fut in items:
+            k = x.shape[0]
+            piece = self._split_outputs(out, off, off + k)
+            if single:
+                piece = jax.tree_util.tree_map(lambda o: o[0], piece)
+            fut.set_result(piece)
+            off += k
+
+
+def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
+                max_wait_ms: float = 2.0) -> InferenceServer:
+    """InferenceServer over a zoo ``PretrainedModel`` (channels-last input).
+
+    ``mode`` follows the module contract ('forward' | 'features' |
+    'logits')."""
+    module = model.module
+
+    def apply_fn(variables, x):
+        return module.apply(variables, x, mode=mode)
+
+    # one example = the model's batched input rank minus the batch axis
+    # (video models stamp input_ndim=5: B,T,H,W,C -> a clip is rank 4)
+    example_ndim = (getattr(model, 'input_ndim', None) or 4) - 1
+    return InferenceServer(apply_fn, model.variables, max_batch=max_batch,
+                           max_wait_ms=max_wait_ms,
+                           example_ndim=example_ndim)

@@ -1,0 +1,106 @@
+"""Dynamic-batching inference server (pretorched_tpu/serving.py).
+
+Criteria: results are exactly the per-request forward outputs regardless of
+how requests were coalesced/padded; bucket sizes are bounded; errors
+propagate; close() drains."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pretorched_tpu
+from pretorched_tpu.serving import InferenceServer, serve_model
+
+
+def _linear_apply(variables, x):
+    return x.reshape(x.shape[0], -1) @ variables['w'] + variables['b']
+
+
+def _vars(rng, d_in=12, d_out=5):
+    return {'w': jnp.asarray(rng.randn(d_in, d_out), jnp.float32),
+            'b': jnp.asarray(rng.randn(d_out), jnp.float32)}
+
+
+def test_serving_single_and_batch_requests(rng):
+    variables = _vars(rng)
+    with InferenceServer(_linear_apply, variables, max_batch=8,
+                         max_wait_ms=5.0, example_ndim=2) as srv:
+        xs = [rng.randn(3, 4).astype(np.float32) for _ in range(7)]
+        futs = [srv.submit(x) for x in xs]                 # singles
+        xb = rng.randn(4, 3, 4).astype(np.float32)
+        fb = srv.submit(xb)                                # a batch
+        ref = np.asarray(_linear_apply(
+            variables, jnp.asarray(np.stack(xs))))
+        for f, r in zip(futs, ref):
+            np.testing.assert_allclose(f.result(timeout=60), r,
+                                       rtol=1e-5, atol=1e-5)
+        refb = np.asarray(_linear_apply(variables, jnp.asarray(xb)))
+        np.testing.assert_allclose(fb.result(timeout=60), refb,
+                                   rtol=1e-5, atol=1e-5)
+    # buckets are powers of two bounded by max_batch
+    assert srv.bucket_compiles <= {1, 2, 4, 8}
+
+
+def test_serving_concurrent_submitters(rng):
+    variables = _vars(rng)
+    srv = InferenceServer(_linear_apply, variables, max_batch=16,
+                          max_wait_ms=2.0, example_ndim=2)
+    results = {}
+    lock = threading.Lock()
+
+    def client(i):
+        x = np.full((3, 4), float(i), np.float32)
+        y = srv.submit(x).result(timeout=60)
+        with lock:
+            results[i] = y
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(24)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    srv.close()
+    for i in range(24):
+        x = jnp.full((1, 3, 4), float(i), jnp.float32)
+        ref = np.asarray(_linear_apply(variables, x))[0]
+        np.testing.assert_allclose(results[i], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_serving_error_propagates(rng):
+    variables = _vars(rng)
+
+    def bad_apply(variables, x):
+        return x.reshape(x.shape[0], -1) @ variables['w'][:2]  # shape bug
+
+    srv = InferenceServer(bad_apply, variables, max_batch=4,
+                          max_wait_ms=0.0, example_ndim=2)
+    fut = srv.submit(np.zeros((3, 4), np.float32))
+    with pytest.raises(Exception):
+        fut.result(timeout=60)
+    with pytest.raises(RuntimeError, match='died'):
+        srv.close()                 # a dead batcher is fatal and loud
+
+
+def test_serving_rejects_oversized_and_closed(rng):
+    variables = _vars(rng)
+    srv = InferenceServer(_linear_apply, variables, max_batch=4,
+                          example_ndim=2)
+    with pytest.raises(ValueError, match='max_batch'):
+        srv.submit(np.zeros((5, 3, 4), np.float32))
+    srv.close()
+    with pytest.raises(RuntimeError, match='closed'):
+        srv.submit(np.zeros((3, 4), np.float32))
+
+
+def test_serve_model_zoo_integration(rng):
+    model = pretorched_tpu.resnet18(num_classes=13, pretrained=None).eval()
+    x = rng.randn(2, 32, 32, 3).astype(np.float32)       # channels-last
+    with serve_model(model, max_batch=4, max_wait_ms=1.0) as srv:
+        y0 = srv(x[0])                                   # one example
+        yb = srv(x)                                      # a batch
+    ref = np.asarray(model.module.apply(model.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(y0, ref[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(yb, ref, rtol=1e-4, atol=1e-4)

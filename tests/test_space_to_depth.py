@@ -61,3 +61,39 @@ def test_s2d_conv_module_odd_size_fallback():
         assert got.shape == direct.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_slowfast_s2d_stem_exact():
+    """SlowFast with s2d_stem=True is the same function of the same
+    variables (both pathways' non-cubic stems fold exactly)."""
+    import dataclasses
+
+    from pretorched_tpu.models.slowfast import SlowFast
+
+    rng = np.random.RandomState(0)
+    module = SlowFast(block='bottleneck', layers=(1, 1, 1, 1), num_classes=11)
+    x = jnp.asarray(rng.randn(1, 16, 64, 64, 3), jnp.float32)
+    variables = module.init(jax.random.key(0), x)
+    plain = module.apply(variables, x)
+    s2d = dataclasses.replace(module, s2d_stem=True).apply(variables, x)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(plain),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_s2d_conv_module_noncubic_kernel():
+    """SpaceToDepthConv with a (kt, kh, kw) kernel (SlowFast stems: (5,7,7)
+    fast, (1,7,7) slow) matches the plain stride-(1,2,2) conv exactly."""
+    from pretorched_tpu.models.layers import SpaceToDepthConv
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 64, 64, 3), jnp.float32)
+    for kt in (1, 5):
+        mod = SpaceToDepthConv(8, (kt, 7, 7), ndim=3)
+        variables = mod.init(jax.random.key(0), x)
+        folded = mod.apply(variables, x)
+        direct = _conv(x, variables['params']['kernel'], (1, 2, 2),
+                       [(kt // 2, kt // 2), (3, 3), (3, 3)],
+                       ('NDHWC', 'DHWIO', 'NDHWC'))
+        assert folded.shape == direct.shape
+        np.testing.assert_allclose(np.asarray(folded), np.asarray(direct),
+                                   rtol=1e-4, atol=1e-4)
