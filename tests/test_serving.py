@@ -104,3 +104,29 @@ def test_serve_model_zoo_integration(rng):
     ref = np.asarray(model.module.apply(model.variables, jnp.asarray(x)))
     np.testing.assert_allclose(y0, ref[0], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(yb, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_serving_with_sharded_apply(rng):
+    """The executor is sharding-agnostic: an apply_fn that constrains its
+    batch onto a 'data' mesh axis serves unchanged (the deployment shape
+    for DP serving on a pod slice)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('data',))
+    variables = _vars(rng)
+
+    def sharded_apply(variables, x):
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P('data')))
+        return _linear_apply(variables, x)
+
+    with InferenceServer(sharded_apply, variables, max_batch=8,
+                         max_wait_ms=5.0, example_ndim=2) as srv:
+        xs = [rng.randn(3, 4).astype(np.float32) for _ in range(8)]
+        futs = [srv.submit(x) for x in xs]
+        ref = np.asarray(_linear_apply(variables,
+                                       jnp.asarray(np.stack(xs))))
+        for f, r in zip(futs, ref):
+            np.testing.assert_allclose(f.result(timeout=60), r,
+                                       rtol=1e-5, atol=1e-5)
