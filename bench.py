@@ -359,7 +359,9 @@ def main():
         # >= PALLAS_MIN_N, so the blockwise kernel is actually engaged
         # (16-frame clips give N=3136 and fall back to the XLA einsum)
         nl_frames = max(FRAMES, 32)
-        nl_batch = int(os.environ.get('BENCH_NL_BATCH', '8'))
+        # r3 batch sweep: b8 89.6, b16 143.2, b32 200.0, b64 267.2,
+        # b128 357.7 clips/s, b256 OOM -> default b128
+        nl_batch = int(os.environ.get('BENCH_NL_BATCH', str(min(BATCH, 128))))
         clip = jnp.asarray(rng.rand(nl_batch, nl_frames, SIZE, SIZE, 3),
                            jnp.bfloat16)
 
