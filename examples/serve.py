@@ -68,10 +68,13 @@ def main():
             srv(rng.rand(b, *shape).astype(dtype))
             b *= 2
 
-        per_client = args.requests // args.clients
+        # distribute the remainder so exactly --requests are issued
+        per_client = [args.requests // args.clients +
+                      (1 if i < args.requests % args.clients else 0)
+                      for i in range(args.clients)]
 
-        def client():
-            for _ in range(per_client):
+        def client(n_req):
+            for _ in range(n_req):
                 x = rng.rand(*shape).astype(dtype)
                 t0 = time.perf_counter()
                 srv.submit(x).result()
@@ -80,8 +83,8 @@ def main():
                     lat.append(dt)
 
         t0 = time.perf_counter()
-        threads = [threading.Thread(target=client)
-                   for _ in range(args.clients)]
+        threads = [threading.Thread(target=client, args=(n,))
+                   for n in per_client]
         for t in threads:
             t.start()
         for t in threads:
@@ -90,6 +93,9 @@ def main():
 
     lat_ms = np.sort(np.asarray(lat)) * 1000
     n = len(lat_ms)
+    if n == 0:
+        print('no requests issued (--requests 0)')
+        return
     print(f'{n} requests, {args.clients} clients, wall {wall:.2f}s '
           f'-> {n / wall:.1f} req/s')
     print(f'latency ms: p50 {lat_ms[n // 2]:.1f}  '

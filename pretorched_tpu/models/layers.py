@@ -144,6 +144,10 @@ class SpaceToDepthConv(nn.Module):
         ks = self.kernel_size
         if isinstance(ks, int):
             ks = (ks,) * self.ndim
+        assert len(ks) == self.ndim, (ks, self.ndim)
+        assert ks[-2] == ks[-1] and ks[-1] % 2 == 1, (
+            f'space-to-depth folding needs a square odd spatial kernel, '
+            f'got {ks}')
         kt = ks[0] if self.ndim == 3 else None
         k = ks[-1]                 # spatial size (square)
         in_ch = x.shape[-1]

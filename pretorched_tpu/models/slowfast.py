@@ -47,7 +47,14 @@ class SlowFast(nn.Module):
         if s2d:
             # exact space-to-depth folding of the stride-(1,2,2) stem
             # (ops/space_to_depth.py): same stored kernel, same math,
-            # 4x better MXU lane use on the 3-channel input
+            # 4x better MXU lane use on the 3-channel input.
+            # SpaceToDepthConv hardcodes this geometry — assert the call
+            # site actually asked for it rather than silently ignoring
+            # stride/padding/bias.
+            kt, kh, kw = kernel
+            assert stride == (1, 2, 2) and not bias and \
+                padding == (kt // 2, kh // 2, kw // 2), (
+                    kernel, stride, padding, bias)
             from .layers import SpaceToDepthConv
             x = SpaceToDepthConv(ch, kernel, ndim=3, dtype=self.dtype,
                                  name=name)(x)

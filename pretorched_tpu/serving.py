@@ -73,6 +73,13 @@ class InferenceServer:
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._exc: Optional[BaseException] = None
+        # guards the submit-put vs close/death transition: once _closed or
+        # _exc is observed under the lock, no new item can slip into the
+        # queue after the final drain (a lock-free check-then-put would
+        # leave such a request's Future hanging forever)
+        self._lock = threading.Lock()
+        self._example_shape: Optional[tuple] = None
+        self._example_dtype = None
         self.bucket_compiles: set = set()      # batch sizes seen (telemetry)
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name='pretorched-serving-batcher')
@@ -83,10 +90,6 @@ class InferenceServer:
         """Enqueue one example (example_ndim) or a batch of them; returns a
         Future resolving to the corresponding output (leading axis dropped
         for single examples)."""
-        if self._closed:
-            raise RuntimeError('server is closed')
-        if self._exc is not None:
-            raise RuntimeError('server batcher died') from self._exc
         x = np.asarray(x)
         single = self.example_ndim is not None and x.ndim == self.example_ndim
         if single:
@@ -94,8 +97,25 @@ class InferenceServer:
         if x.shape[0] > self.max_batch:
             raise ValueError(f'batch {x.shape[0]} > max_batch '
                              f'{self.max_batch}; split the request')
-        fut: Future = Future()
-        self._q.put((x, single, fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError('server is closed')
+            if self._exc is not None:
+                raise RuntimeError('server batcher died') from self._exc
+            # validate against the first-seen example so ONE malformed
+            # request fails here, at its caller — not inside the batcher's
+            # np.concatenate, which would kill the server for everyone
+            if self._example_shape is None:
+                self._example_shape = x.shape[1:]
+                self._example_dtype = x.dtype
+            elif x.shape[1:] != self._example_shape or \
+                    x.dtype != self._example_dtype:
+                raise ValueError(
+                    f'request shape/dtype {x.shape[1:]}/{x.dtype} does not '
+                    f'match the served signature '
+                    f'{self._example_shape}/{self._example_dtype}')
+            fut: Future = Future()
+            self._q.put((x, single, fut))
         return fut
 
     def __call__(self, x):
@@ -104,12 +124,19 @@ class InferenceServer:
 
     def close(self, timeout: float = 30.0):
         """Drain outstanding requests and stop the batcher thread."""
-        if not self._closed:
+        with self._lock:
+            first = not self._closed
             self._closed = True
+        if first:
             self._q.put(None)                  # wake the batcher
             self._thread.join(timeout)
         if self._exc is not None:
             raise RuntimeError('server batcher died') from self._exc
+        if self._thread.is_alive():
+            raise RuntimeError(
+                f'batcher did not drain within {timeout}s (a cold-bucket '
+                f'compile can take that long on a slow backend); call '
+                f'close(timeout=...) again with a larger timeout')
 
     def __enter__(self):
         return self
@@ -177,7 +204,9 @@ class InferenceServer:
             if pending is not None:
                 self._resolve(*pending)
         except BaseException as e:              # propagate to clients
-            self._exc = e
+            with self._lock:
+                self._exc = e   # under the lock: no submit can now pass the
+                #                 check and put after the drain below
             in_flight = list(items or [])
             if pending is not None:
                 in_flight.extend(pending[0])

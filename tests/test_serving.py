@@ -130,3 +130,19 @@ def test_serving_with_sharded_apply(rng):
         for f, r in zip(futs, ref):
             np.testing.assert_allclose(f.result(timeout=60), r,
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_serving_rejects_mismatched_request_not_kills_server(rng):
+    """A malformed request fails ITS caller with ValueError; the server
+    keeps serving everyone else (no batcher death)."""
+    variables = _vars(rng)
+    with InferenceServer(_linear_apply, variables, max_batch=8,
+                         max_wait_ms=1.0, example_ndim=2) as srv:
+        good = srv.submit(rng.randn(3, 4).astype(np.float32))
+        with pytest.raises(ValueError, match='signature'):
+            srv.submit(rng.randn(3, 5).astype(np.float32))   # wrong shape
+        with pytest.raises(ValueError, match='signature'):
+            srv.submit(rng.randn(3, 4).astype(np.float64))   # wrong dtype
+        assert good.result(timeout=60).shape == (5,)
+        again = srv.submit(rng.randn(3, 4).astype(np.float32))
+        assert again.result(timeout=60).shape == (5,)
