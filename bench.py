@@ -220,7 +220,8 @@ def main():
         variables = model.variables
         tx = optax.sgd(0.1, momentum=0.9)
         accum = int(os.environ.get('BENCH_TRAIN_ACCUM', '1'))
-        step = make_train_step(module, tx, accum_steps=accum)
+        remat = bool(int(os.environ.get('BENCH_TRAIN_REMAT', '0')))
+        step = make_train_step(module, tx, accum_steps=accum, remat=remat)
         iters = max(ITERS // 2, 5)
         # v5e sweep (ROUND_NOTES r2): b64 177, b128 226.8 clips/s, b192 OOM;
         # the halve-batch fallback below covers OOM if other rows hold HBM.
@@ -276,7 +277,8 @@ def main():
         rows.append({
             'metric': (f'resnet3d50 {FRAMES}f{SIZE}px bf16-compute SGD train '
                        f'step clips/sec/chip (donated buffers'
-                       + (f', accum x{accum}' if accum > 1 else '') + ')'),
+                       + (f', accum x{accum}' if accum > 1 else '')
+                       + (', remat' if remat else '') + ')'),
             'value': round(clips_s, 2), 'unit': 'clips/s', 'batch': batch,
             'gflops_per_clip': round(flops_step / batch / 1e9, 1),
             'mfu': round(flops_step / batch * clips_s / V5E_BF16_PEAK_FLOPS,
@@ -329,6 +331,9 @@ def main():
     def row_r2plus1d():
         r21 = pretorched.r2plus1d50(num_classes=400, pretrained=None)
         r21.bfloat16()
+        # exact s2d folding of the factored stem's SPATIAL conv (the
+        # 3-channel MXU-lane waster; test_r2plus1d_s2d_stem_exact)
+        module = dataclasses.replace(r21.module, s2d_stem=True)
         # R(2+1)D's published protocol is 112px clips (reference
         # r2plus1d.py:155-173 smoke uses 112); BASELINE config 4 family.
         r21_size = int(os.environ.get('BENCH_R21_SIZE', '112'))
@@ -337,16 +342,16 @@ def main():
                            jnp.bfloat16)
 
         def fwdr(v, c):
-            return r21.apply(v, c)[0, 0]
+            return module.apply(v, c)[0, 0]
 
         dt, b = timed_scan(fwdr, r21.variables, clip, max(ITERS // 2, 5),
                            'r2plus1d50')
         clips_s = b / dt
-        fwd1 = jax.jit(lambda v, c: r21.module.apply(v, c))
+        fwd1 = jax.jit(lambda v, c: module.apply(v, c))
         flops_fwd = cost_flops(fwd1, r21.variables, clip[:b])
         rows.append({
             'metric': (f'r2plus1d50 {FRAMES}f{r21_size}px bf16 '
-                       f'clips/sec/chip'),
+                       f'clips/sec/chip (s2d stem)'),
             'value': round(clips_s, 2), 'unit': 'clips/s', 'batch': b,
             'gflops_per_clip': round(flops_fwd / b / 1e9, 1),
             'mfu': round(flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS, 3)})

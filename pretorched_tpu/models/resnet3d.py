@@ -97,8 +97,9 @@ class VideoResNet(nn.Module):
 
     # ------------------------------------------------------------------ convs
     def _conv(self, x, out_ch, kernel, name, stride=1, padding=0, groups=1,
-              train=False, plain=False):
+              train=False, plain=False, s2d=False):
         if not self.factored or plain:
+            assert not s2d      # non-factored s2d stems fold in __call__
             return conv3d(out_ch, kernel, stride=stride, padding=padding,
                           groups=groups, bias=False, name=name,
                           kernel_init=kaiming_normal_out, dtype=self.dtype)(x)
@@ -110,9 +111,22 @@ class VideoResNet(nn.Module):
         in_ch = x.shape[-1]
         mid = int(math.floor((kt * kh * kw * in_ch * out_ch) /
                              (kh * kw * in_ch + kt * out_ch)))
-        x = conv3d(mid, (1, kh, kw), stride=(1, sh, sw), padding=(0, ph, pw),
-                   bias=False, name=f'{name}.spatial_conv',
-                   kernel_init=kaiming_normal_out, dtype=self.dtype)(x)
+        if s2d:
+            # fold the SPATIAL half via space-to-depth (exact; the stored
+            # kernel keeps the plain (1,kh,kw) shape/name, so checkpoints
+            # are interchangeable). Only worth it on the 3-channel stem —
+            # SpaceToDepthConv hardcodes stride (1,2,2) / pad k//2 / no
+            # bias, so assert the call site asked for exactly that.
+            from .layers import SpaceToDepthConv
+            assert (sh, sw) == (2, 2) and (ph, pw) == (kh // 2, kw // 2) \
+                and kh == kw, (kernel, stride, padding)
+            x = SpaceToDepthConv(mid, (1, kh, kw), ndim=3, dtype=self.dtype,
+                                 name=f'{name}.spatial_conv')(x)
+        else:
+            x = conv3d(mid, (1, kh, kw), stride=(1, sh, sw),
+                       padding=(0, ph, pw), bias=False,
+                       name=f'{name}.spatial_conv',
+                       kernel_init=kaiming_normal_out, dtype=self.dtype)(x)
         x = batch_norm(train=train, name=f'{name}.bn', dtype=self.dtype)(x)
         x = relu(x)
         return conv3d(out_ch, (kt, 1, 1), stride=(st, 1, 1), padding=(pt, 0, 0),
@@ -215,8 +229,11 @@ class VideoResNet(nn.Module):
                 x = SpaceToDepthConv(64, 7, ndim=3, dtype=self.dtype,
                                      name='conv1')(x)
             else:
+                # factored (R(2+1)D) stems fold their spatial half when
+                # s2d_stem is set — the 3-channel input is the MXU-lane
+                # waster; the (kt,1,1) temporal conv is unaffected
                 x = self._conv(x, 64, 7, 'conv1', stride=(1, 2, 2), padding=3,
-                               train=train)
+                               train=train, s2d=self.s2d_stem)
             x = relu(self._bn(x, 'bn1', train))
             x = max_pool(x, 3, 2, 1)
             inplanes = 64

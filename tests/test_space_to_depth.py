@@ -97,3 +97,22 @@ def test_s2d_conv_module_noncubic_kernel():
         assert folded.shape == direct.shape
         np.testing.assert_allclose(np.asarray(folded), np.asarray(direct),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_r2plus1d_s2d_stem_exact():
+    """R(2+1)D with s2d_stem=True is the same function of the same
+    variables: only the factored stem's SPATIAL conv folds (the (kt,1,1)
+    temporal conv and every block conv are untouched)."""
+    import dataclasses
+
+    from pretorched_tpu.models.resnet3d import VideoResNet
+
+    rng = np.random.RandomState(0)
+    module = VideoResNet(block='bottleneck', layers=(1, 1, 1, 1),
+                         num_classes=11, shortcut_type='B', factored=True)
+    x = jnp.asarray(rng.randn(1, 8, 64, 64, 3), jnp.float32)
+    variables = module.init(jax.random.key(0), x)
+    plain = module.apply(variables, x)
+    s2d = dataclasses.replace(module, s2d_stem=True).apply(variables, x)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(plain),
+                               rtol=2e-5, atol=2e-5)
