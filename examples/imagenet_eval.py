@@ -214,6 +214,13 @@ def main():
     for epoch in range(args.start_epoch, args.epochs):
         batch_time, losses, top1 = AverageMeter(), AverageMeter(), AverageMeter()
         end = time.time()
+        # metrics accumulate ON DEVICE between prints: a per-step float()
+        # would block step i+1's dispatch behind step i's completion,
+        # serializing host<->device (tiny scalar adds dispatch async
+        # instead). drop_last=True makes batches equal-size, so the mean of
+        # per-step means is the exact epoch mean. One host sync per
+        # print_freq window keeps the reference's `val (avg)` log format.
+        loss_sum = top1_sum = None
         for i, (images, labels) in enumerate(batch_iterator(
                 train_set, args.batch_size, shuffle=True, drop_last=True,
                 num_workers=args.workers, seed=epoch)):
@@ -222,11 +229,17 @@ def main():
                 params, batch_stats, opt_state, x, jnp.asarray(labels),
                 step_idx)
             step_idx += 1
-            losses.update(float(metrics['loss']), len(labels))
-            top1.update(100.0 * float(metrics['top1']), len(labels))
+            loss_sum = (metrics['loss'] if loss_sum is None
+                        else loss_sum + metrics['loss'])
+            top1_sum = (metrics['top1'] if top1_sum is None
+                        else top1_sum + metrics['top1'])
             batch_time.update(time.time() - end)
             end = time.time()
             if i % args.print_freq == 0:
+                losses.update(float(metrics['loss']), len(labels))
+                losses.avg = float(loss_sum) / (i + 1)
+                top1.update(100.0 * float(metrics['top1']), len(labels))
+                top1.avg = 100.0 * float(top1_sum) / (i + 1)
                 print(f'Epoch: [{epoch}][{i}]\t'
                       f'Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t'
                       f'Loss {losses.val:.4f} ({losses.avg:.4f})\t'
