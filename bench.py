@@ -375,10 +375,19 @@ def main():
 
         dt, b = timed_scan(fwdn, nl.variables, clip, max(ITERS // 2, 5),
                            'nonlocal3d50')
+        clips_s = b / dt
+        # roofline note: XLA cost analysis does NOT see inside the Pallas
+        # custom call, so this undercounts the attention matmuls — the MFU
+        # is a lower bound
+        fwd1 = jax.jit(lambda v, c: nl.module.apply(v, c))
+        flops_fwd = cost_flops(fwd1, nl.variables, clip[:b])
         rows.append({
             'metric': (f'nonlocalresnet3d50 {nl_frames}f{SIZE}px bf16 '
                        f'clips/sec/chip (Pallas blockwise, layer2 N=6272)'),
-            'value': round(b / dt, 2), 'unit': 'clips/s', 'batch': b})
+            'value': round(clips_s, 2), 'unit': 'clips/s', 'batch': b,
+            'gflops_per_clip': round(flops_fwd / b / 1e9, 1),
+            'mfu_lower_bound': round(
+                flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS, 3)})
 
     # ---------------------------------------- 7. 10-clip consensus eval
     def row_multiclip():
@@ -400,11 +409,16 @@ def main():
 
         dt, b = timed_scan(consensus, variables, vids, max(ITERS // 2, 5),
                            'multiclip')
+        videos_s = b / dt
+        fwd1 = jax.jit(consensus)
+        flops_vid = cost_flops(fwd1, variables, vids[:b])
         rows.append({
             'metric': (f'resnet3d50 10-clip consensus eval {FRAMES}f{SIZE}px '
                        f'bf16 videos/sec/chip'),
-            'value': round(b / dt, 2), 'unit': 'videos/s', 'batch': b,
-            'clips_per_sec': round(b * nclips / dt, 1)})
+            'value': round(videos_s, 2), 'unit': 'videos/s', 'batch': b,
+            'clips_per_sec': round(b * nclips / dt, 1),
+            'gflops_per_video': round(flops_vid / b / 1e9, 1),
+            'mfu': round(flops_vid / b * videos_s / V5E_BF16_PEAK_FLOPS, 3)})
 
     # --------------------------- 8. fused preprocess -> forward pipeline
     def row_pipeline():

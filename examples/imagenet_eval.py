@@ -160,27 +160,46 @@ def main():
     def validate():
         batch_time, losses, top1, top5 = (AverageMeter() for _ in range(4))
         end = time.time()
+        # per-batch sums stay ON DEVICE between prints (async scalar adds):
+        # a per-batch device_get would block batch i+1's dispatch behind
+        # batch i's completion, serializing the loop against device
+        # round-trips. eval_step already returns masked SUMS + count, so
+        # accumulating them is exact for ragged/padded batches too.
+        sums = None
         for i, (x, labels) in enumerate(val_batches()):
             # ragged batches (size-bucketed fast pipeline, final flush) are
             # padded to the sharding multiple; label -1 rows are masked out
             x, labels = pad_batch(jnp.asarray(x), np.asarray(labels),
                                   mesh.shape.get('data', 1))
-            out = jax.device_get(eval_step(model.variables, jnp.asarray(x),
-                                           jnp.asarray(labels)))
-            n = int(out['count'])
-            losses.update(float(out['loss']) / n, n)
-            top1.update(100.0 * float(out['top1']) / n, n)
-            top5.update(100.0 * float(out['top5']) / n, n)
+            out = eval_step(model.variables, jnp.asarray(x),
+                            jnp.asarray(labels))
+            sums = out if sums is None else {k: sums[k] + out[k]
+                                             for k in sums}
             batch_time.update(time.time() - end)
             end = time.time()
             if i % args.print_freq == 0:
+                o, s = jax.device_get((out, sums))
+                n, nt = max(int(o['count']), 1), max(int(s['count']), 1)
+                losses.update(float(o['loss']) / n, n)
+                losses.avg = float(s['loss']) / nt
+                top1.update(100.0 * float(o['top1']) / n, n)
+                top1.avg = 100.0 * float(s['top1']) / nt
+                top5.update(100.0 * float(o['top5']) / n, n)
+                top5.avg = 100.0 * float(s['top5']) / nt
                 print(f'Test: [{i}]\t'
                       f'Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t'
                       f'Loss {losses.val:.4f} ({losses.avg:.4f})\t'
                       f'Acc@1 {top1.val:.3f} ({top1.avg:.3f})\t'
                       f'Acc@5 {top5.val:.3f} ({top5.avg:.3f})')
-        print(f' * Acc@1 {top1.avg:.3f} Acc@5 {top5.avg:.3f}')
-        return top1.avg
+        if sums is None:                       # empty val dir
+            print(' * Acc@1 0.000 Acc@5 0.000')
+            return 0.0
+        s = jax.device_get(sums)
+        nt = max(int(s['count']), 1)
+        top1_avg = 100.0 * float(s['top1']) / nt
+        top5_avg = 100.0 * float(s['top5']) / nt
+        print(f' * Acc@1 {top1_avg:.3f} Acc@5 {top5_avg:.3f}')
+        return top1_avg
 
     if args.evaluate:
         validate()

@@ -117,8 +117,14 @@ def main():
     t_last = time.time()
     batch_idx = 0
 
+    # per-batch metric sums stay ON DEVICE between prints (async scalar
+    # adds): a per-flush device_get would block the next batch's dispatch
+    # behind this batch's completion. The eval step returns masked SUMS +
+    # count, so accumulating is exact for padded/ragged batches.
+    sums = None
+
     def flush(batch_clips, batch_labels):
-        nonlocal t_last, batch_idx
+        nonlocal t_last, batch_idx, sums
         if not batch_clips:
             return
         # pad ragged final batches to the sharding multiple (label -1 rows
@@ -126,15 +132,19 @@ def main():
         clips, labels = pad_batch(jnp.stack(batch_clips),
                                   np.asarray(batch_labels),
                                   mesh.shape.get('data', 1))
-        out = jax.device_get(step(model.variables, jnp.asarray(clips),
-                                  jnp.asarray(labels)))
-        n = int(out['count'])
-        losses.update(float(out['loss']) / n, n)
-        top1.update(100.0 * float(out['top1']) / n, n)
-        top5.update(100.0 * float(out['top5']) / n, n)
+        out = step(model.variables, jnp.asarray(clips), jnp.asarray(labels))
+        sums = out if sums is None else {k: sums[k] + out[k] for k in sums}
         batch_time.update(time.time() - t_last)
         t_last = time.time()
         if batch_idx % args.print_freq == 0:
+            o, s = jax.device_get((out, sums))
+            n, nt = max(int(o['count']), 1), max(int(s['count']), 1)
+            losses.update(float(o['loss']) / n, n)
+            losses.avg = float(s['loss']) / nt
+            top1.update(100.0 * float(o['top1']) / n, n)
+            top1.avg = 100.0 * float(s['top1']) / nt
+            top5.update(100.0 * float(o['top5']) / n, n)
+            top5.avg = 100.0 * float(s['top5']) / nt
             # same meter-line format as the reference validate()
             # (imagenet_eval.py:241-251)
             print(f'Test: [{batch_idx}/{-(-len(videos) // args.batch_size)}]\t'
@@ -178,7 +188,13 @@ def main():
             buckets.pop(tb)
     for tb in sorted(buckets):
         flush(*buckets[tb])
-    print(f' * Acc@1 {top1.avg:.3f} Acc@5 {top5.avg:.3f}')
+    if sums is None:                           # no videos found
+        print(' * Acc@1 0.000 Acc@5 0.000')
+        return
+    s = jax.device_get(sums)
+    nt = max(int(s['count']), 1)
+    print(f' * Acc@1 {100.0 * float(s["top1"]) / nt:.3f} '
+          f'Acc@5 {100.0 * float(s["top5"]) / nt:.3f}')
 
 
 if __name__ == '__main__':
