@@ -523,9 +523,11 @@ def main():
                              consensus='MSTRN', arch='resnet50',
                              pretrained=None)
         trn.bfloat16()
-        # b16 keeps the MSTRN graph's remote compile tractable — at b64 the
-        # axon tunnel's remote_compile breaks (r3: broken pipe after ~25min)
-        tb = int(os.environ.get('BENCH_TRN_BATCH', str(min(BATCH, 16))))
+        # post dtype-propagation fix (bfloat16() now reaches the nested
+        # base_module — it silently computed f32 before, 845 videos/s),
+        # the sweep is b16 1303.6 / b32 1383.2 / b64 1416.8 / b128 1429.1:
+        # flat past b64, so b64 is the default (backbone batch 512 frames)
+        tb = int(os.environ.get('BENCH_TRN_BATCH', str(min(BATCH, 64))))
         iters = max(ITERS // 2, 5)
 
         # No scan wrapper here: the MSTRN graph compiles ~3x slower than the

@@ -30,6 +30,28 @@ import numpy as np
 from ..models.layers import Identity
 
 
+def _replace_dtype(module, dtype):
+    """Replace the compute ``dtype`` field on a Flax module AND on any
+    module instances stored in its fields (e.g. TRN.base_module — a nested
+    backbone constructed before the wrapper's dtype switch; without the
+    recursion bfloat16() left such backbones computing in f32: measured
+    2x on the TRN bench row)."""
+    import flax.linen as nn
+    if not dataclasses.is_dataclass(module):
+        return module
+    updates = {}
+    for f in dataclasses.fields(module):
+        if f.name == 'dtype':
+            updates['dtype'] = dtype
+            continue
+        v = getattr(module, f.name, None)
+        if isinstance(v, nn.Module):
+            nv = _replace_dtype(v, dtype)
+            if nv is not v:
+                updates[f.name] = nv
+    return dataclasses.replace(module, **updates) if updates else module
+
+
 def to_channels_last(x):
     if x.ndim == 3:
         return jnp.transpose(x, (0, 2, 1))
@@ -198,15 +220,13 @@ class PretrainedModel:
 
     def bfloat16(self):
         """Switch compute dtype to bfloat16 (params stay f32)."""
-        if hasattr(self.module, 'dtype'):
-            self.module = dataclasses.replace(self.module, dtype=jnp.bfloat16)
-            self._jit_cache.clear()
+        self.module = _replace_dtype(self.module, jnp.bfloat16)
+        self._jit_cache.clear()
         return self
 
     def float(self):
-        if hasattr(self.module, 'dtype'):
-            self.module = dataclasses.replace(self.module, dtype=None)
-            self._jit_cache.clear()
+        self.module = _replace_dtype(self.module, None)
+        self._jit_cache.clear()
         return self
 
     # ------------------------------------------------------------------ apply

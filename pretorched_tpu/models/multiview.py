@@ -76,8 +76,9 @@ class MVResNet(VideoResNet):
     we match by shape: kernel_size 7)."""
 
     def _conv(self, x, out_ch, kernel, name, stride=1, padding=0, groups=1,
-              train=False, plain=False):
+              train=False, plain=False, s2d=False):
         del plain  # multi-view convs are never factored
+        assert not s2d  # s2d_stem folding is not defined for MVConv stems
         ksize = kernel if isinstance(kernel, int) else max(kernel)
         return MultiViewConv(features=out_ch, kernel_size=ksize, stride=stride,
                              padding=padding, bias=False, dtype=self.dtype,
