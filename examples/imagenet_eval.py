@@ -78,7 +78,7 @@ def main():
                                                    multi_clip_eval_step,
                                                    pad_batch)
     from pretorched_tpu.transforms import TransformImage
-    from pretorched_tpu.utils import AverageMeter
+    from pretorched_tpu.utils import AverageMeter, DeviceRunningSums
     from pretorched_tpu.zoo import io as zoo_io
 
     pretrained = None if args.pretrained in ('none', 'None', '') else args.pretrained
@@ -158,47 +158,40 @@ def main():
                 yield images, labels
 
     def validate():
-        batch_time, losses, top1, top5 = (AverageMeter() for _ in range(4))
+        batch_time = AverageMeter()
         end = time.time()
-        # per-batch sums stay ON DEVICE between prints (async scalar adds):
-        # a per-batch device_get would block batch i+1's dispatch behind
-        # batch i's completion, serializing the loop against device
-        # round-trips. eval_step already returns masked SUMS + count, so
-        # accumulating them is exact for ragged/padded batches too.
-        sums = None
+        # per-batch metric sums stay ON DEVICE between prints
+        # (utils.misc.DeviceRunningSums): a per-batch device_get would
+        # block batch i+1's dispatch behind batch i's completion.
+        # eval_step returns masked SUMS + count, so accumulation is exact
+        # for ragged/padded batches too.
+        meters = DeviceRunningSums()
         for i, (x, labels) in enumerate(val_batches()):
             # ragged batches (size-bucketed fast pipeline, final flush) are
             # padded to the sharding multiple; label -1 rows are masked out
             x, labels = pad_batch(jnp.asarray(x), np.asarray(labels),
                                   mesh.shape.get('data', 1))
-            out = eval_step(model.variables, jnp.asarray(x),
-                            jnp.asarray(labels))
-            sums = out if sums is None else {k: sums[k] + out[k]
-                                             for k in sums}
+            meters.update(eval_step(model.variables, jnp.asarray(x),
+                                    jnp.asarray(labels)))
             batch_time.update(time.time() - end)
             end = time.time()
             if i % args.print_freq == 0:
-                o, s = jax.device_get((out, sums))
-                n, nt = max(int(o['count']), 1), max(int(s['count']), 1)
-                losses.update(float(o['loss']) / n, n)
-                losses.avg = float(s['loss']) / nt
-                top1.update(100.0 * float(o['top1']) / n, n)
-                top1.avg = 100.0 * float(s['top1']) / nt
-                top5.update(100.0 * float(o['top5']) / n, n)
-                top5.avg = 100.0 * float(s['top5']) / nt
+                o, s = meters.snapshot()
+                n, nt = max(o['count'], 1), max(s['count'], 1)
                 print(f'Test: [{i}]\t'
                       f'Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t'
-                      f'Loss {losses.val:.4f} ({losses.avg:.4f})\t'
-                      f'Acc@1 {top1.val:.3f} ({top1.avg:.3f})\t'
-                      f'Acc@5 {top5.val:.3f} ({top5.avg:.3f})')
-        if sums is None:                       # empty val dir
+                      f"Loss {o['loss'] / n:.4f} ({s['loss'] / nt:.4f})\t"
+                      f"Acc@1 {100 * o['top1'] / n:.3f} "
+                      f"({100 * s['top1'] / nt:.3f})\t"
+                      f"Acc@5 {100 * o['top5'] / n:.3f} "
+                      f"({100 * s['top5'] / nt:.3f})")
+        if not meters:                         # empty val dir
             print(' * Acc@1 0.000 Acc@5 0.000')
             return 0.0
-        s = jax.device_get(sums)
-        nt = max(int(s['count']), 1)
-        top1_avg = 100.0 * float(s['top1']) / nt
-        top5_avg = 100.0 * float(s['top5']) / nt
-        print(f' * Acc@1 {top1_avg:.3f} Acc@5 {top5_avg:.3f}')
+        s = meters.totals()
+        nt = max(s['count'], 1)
+        top1_avg = 100.0 * s['top1'] / nt
+        print(f" * Acc@1 {top1_avg:.3f} Acc@5 {100.0 * s['top5'] / nt:.3f}")
         return top1_avg
 
     if args.evaluate:
@@ -231,15 +224,14 @@ def main():
 
     step_idx = args.start_epoch * steps_per_epoch
     for epoch in range(args.start_epoch, args.epochs):
-        batch_time, losses, top1 = AverageMeter(), AverageMeter(), AverageMeter()
+        batch_time = AverageMeter()
         end = time.time()
-        # metrics accumulate ON DEVICE between prints: a per-step float()
-        # would block step i+1's dispatch behind step i's completion,
-        # serializing host<->device (tiny scalar adds dispatch async
-        # instead). drop_last=True makes batches equal-size, so the mean of
-        # per-step means is the exact epoch mean. One host sync per
-        # print_freq window keeps the reference's `val (avg)` log format.
-        loss_sum = top1_sum = None
+        # per-step metrics accumulate ON DEVICE between prints
+        # (utils.misc.DeviceRunningSums): a per-step float() would block
+        # step i+1's dispatch behind step i's completion. drop_last=True
+        # makes batches equal-size, so the mean of per-step means is the
+        # exact epoch mean.
+        meters = DeviceRunningSums()
         for i, (images, labels) in enumerate(batch_iterator(
                 train_set, args.batch_size, shuffle=True, drop_last=True,
                 num_workers=args.workers, seed=epoch)):
@@ -248,21 +240,16 @@ def main():
                 params, batch_stats, opt_state, x, jnp.asarray(labels),
                 step_idx)
             step_idx += 1
-            loss_sum = (metrics['loss'] if loss_sum is None
-                        else loss_sum + metrics['loss'])
-            top1_sum = (metrics['top1'] if top1_sum is None
-                        else top1_sum + metrics['top1'])
+            meters.update(metrics)
             batch_time.update(time.time() - end)
             end = time.time()
             if i % args.print_freq == 0:
-                losses.update(float(metrics['loss']), len(labels))
-                losses.avg = float(loss_sum) / (i + 1)
-                top1.update(100.0 * float(metrics['top1']), len(labels))
-                top1.avg = 100.0 * float(top1_sum) / (i + 1)
+                m, s = meters.snapshot()
                 print(f'Epoch: [{epoch}][{i}]\t'
                       f'Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t'
-                      f'Loss {losses.val:.4f} ({losses.avg:.4f})\t'
-                      f'Acc@1 {top1.val:.3f} ({top1.avg:.3f})')
+                      f"Loss {m['loss']:.4f} ({s['loss'] / (i + 1):.4f})\t"
+                      f"Acc@1 {100 * m['top1']:.3f} "
+                      f"({100 * s['top1'] / (i + 1):.3f})")
         model.variables = {'params': params}
         if batch_stats is not None:
             model.variables['batch_stats'] = batch_stats

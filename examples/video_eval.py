@@ -88,7 +88,7 @@ def main():
     from pretorched_tpu.parallel import make_mesh
     from pretorched_tpu.parallel.evaluate import multi_clip_eval_step, pad_batch
     from pretorched_tpu.transforms.fused import fused_preprocess
-    from pretorched_tpu.utils import AverageMeter
+    from pretorched_tpu.utils import AverageMeter, DeviceRunningSums
 
     pretrained = None if args.pretrained in ('none', '') else args.pretrained
     print(f"=> creating '{args.arch}' (pretrained={pretrained})")
@@ -110,21 +110,22 @@ def main():
           f"{args.clips}x{args.frames}f clips, mesh {dict(mesh.shape)}")
 
     import time
-    batch_time, losses, top1, top5 = (AverageMeter() for _ in range(4))
+    batch_time = AverageMeter()
     # native-T mode: one accumulator per temporal bucket, so every flush is
     # a fixed-shape step (at most one compile per rung)
     buckets = {}        # t_bucket -> (clips list, labels list)
     t_last = time.time()
     batch_idx = 0
 
-    # per-batch metric sums stay ON DEVICE between prints (async scalar
-    # adds): a per-flush device_get would block the next batch's dispatch
-    # behind this batch's completion. The eval step returns masked SUMS +
-    # count, so accumulating is exact for padded/ragged batches.
-    sums = None
+    # per-batch metric sums stay ON DEVICE between prints
+    # (utils.misc.DeviceRunningSums): a per-flush device_get would block
+    # the next batch's dispatch behind this batch's completion. The eval
+    # step returns masked SUMS + count, so accumulation is exact for
+    # padded/ragged batches.
+    meters = DeviceRunningSums()
 
     def flush(batch_clips, batch_labels):
-        nonlocal t_last, batch_idx, sums
+        nonlocal t_last, batch_idx
         if not batch_clips:
             return
         # pad ragged final batches to the sharding multiple (label -1 rows
@@ -132,26 +133,22 @@ def main():
         clips, labels = pad_batch(jnp.stack(batch_clips),
                                   np.asarray(batch_labels),
                                   mesh.shape.get('data', 1))
-        out = step(model.variables, jnp.asarray(clips), jnp.asarray(labels))
-        sums = out if sums is None else {k: sums[k] + out[k] for k in sums}
+        meters.update(step(model.variables, jnp.asarray(clips),
+                           jnp.asarray(labels)))
         batch_time.update(time.time() - t_last)
         t_last = time.time()
         if batch_idx % args.print_freq == 0:
-            o, s = jax.device_get((out, sums))
-            n, nt = max(int(o['count']), 1), max(int(s['count']), 1)
-            losses.update(float(o['loss']) / n, n)
-            losses.avg = float(s['loss']) / nt
-            top1.update(100.0 * float(o['top1']) / n, n)
-            top1.avg = 100.0 * float(s['top1']) / nt
-            top5.update(100.0 * float(o['top5']) / n, n)
-            top5.avg = 100.0 * float(s['top5']) / nt
+            o, s = meters.snapshot()
+            n, nt = max(o['count'], 1), max(s['count'], 1)
             # same meter-line format as the reference validate()
             # (imagenet_eval.py:241-251)
             print(f'Test: [{batch_idx}/{-(-len(videos) // args.batch_size)}]\t'
                   f'Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t'
-                  f'Loss {losses.val:.4f} ({losses.avg:.4f})\t'
-                  f'Acc@1 {top1.val:.3f} ({top1.avg:.3f})\t'
-                  f'Acc@5 {top5.val:.3f} ({top5.avg:.3f})')
+                  f"Loss {o['loss'] / n:.4f} ({s['loss'] / nt:.4f})\t"
+                  f"Acc@1 {100 * o['top1'] / n:.3f} "
+                  f"({100 * s['top1'] / nt:.3f})\t"
+                  f"Acc@5 {100 * o['top5'] / n:.3f} "
+                  f"({100 * s['top5'] / nt:.3f})")
         batch_idx += 1
 
     for frames, label in videos:
@@ -188,13 +185,13 @@ def main():
             buckets.pop(tb)
     for tb in sorted(buckets):
         flush(*buckets[tb])
-    if sums is None:                           # no videos found
+    if not meters:                             # no videos found
         print(' * Acc@1 0.000 Acc@5 0.000')
         return
-    s = jax.device_get(sums)
-    nt = max(int(s['count']), 1)
-    print(f' * Acc@1 {100.0 * float(s["top1"]) / nt:.3f} '
-          f'Acc@5 {100.0 * float(s["top5"]) / nt:.3f}')
+    s = meters.totals()
+    nt = max(s['count'], 1)
+    print(f" * Acc@1 {100.0 * s['top1'] / nt:.3f} "
+          f"Acc@5 {100.0 * s['top5'] / nt:.3f}")
 
 
 if __name__ == '__main__':

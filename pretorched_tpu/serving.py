@@ -61,10 +61,15 @@ class InferenceServer:
         at least one (latency/throughput knob; 0 = greedy drain only).
       example_ndim: rank of ONE example (e.g. 4 for a video clip THWC);
         ``submit`` accepts one example or a batch (rank +1) of them.
+      example_shape / example_dtype: pin the served signature up front.
+        When omitted, the FIRST request defines it — convenient, but a
+        wrong-shaped first request then rejects all correct traffic for
+        the server's lifetime, so production callers should pin it.
     """
 
     def __init__(self, apply_fn: Callable, variables, *, max_batch: int = 64,
-                 max_wait_ms: float = 2.0, example_ndim: Optional[int] = None):
+                 max_wait_ms: float = 2.0, example_ndim: Optional[int] = None,
+                 example_shape: Optional[tuple] = None, example_dtype=None):
         self._fn = jax.jit(apply_fn)
         self._variables = variables
         self.max_batch = int(max_batch)
@@ -78,8 +83,10 @@ class InferenceServer:
         # queue after the final drain (a lock-free check-then-put would
         # leave such a request's Future hanging forever)
         self._lock = threading.Lock()
-        self._example_shape: Optional[tuple] = None
-        self._example_dtype = None
+        self._example_shape = (None if example_shape is None
+                               else tuple(example_shape))
+        self._example_dtype = (None if example_dtype is None
+                               else np.dtype(example_dtype))
         self.bucket_compiles: set = set()      # batch sizes seen (telemetry)
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name='pretorched-serving-batcher')
@@ -97,18 +104,24 @@ class InferenceServer:
         if x.shape[0] > self.max_batch:
             raise ValueError(f'batch {x.shape[0]} > max_batch '
                              f'{self.max_batch}; split the request')
+        if x.shape[0] == 0:
+            # a zero-row batch would blow up the batcher's pad-to-bucket
+            # broadcast and kill the server for everyone — fail its caller
+            raise ValueError('empty batch (0 examples)')
         with self._lock:
             if self._closed:
                 raise RuntimeError('server is closed')
             if self._exc is not None:
                 raise RuntimeError('server batcher died') from self._exc
-            # validate against the first-seen example so ONE malformed
-            # request fails here, at its caller — not inside the batcher's
+            # validate against the served signature (pinned at construction
+            # or defined by the first request) so ONE malformed request
+            # fails here, at its caller — not inside the batcher's
             # np.concatenate, which would kill the server for everyone
             if self._example_shape is None:
                 self._example_shape = x.shape[1:]
+            if self._example_dtype is None:
                 self._example_dtype = x.dtype
-            elif x.shape[1:] != self._example_shape or \
+            if x.shape[1:] != self._example_shape or \
                     x.dtype != self._example_dtype:
                 raise ValueError(
                     f'request shape/dtype {x.shape[1:]}/{x.dtype} does not '
@@ -129,6 +142,10 @@ class InferenceServer:
             self._closed = True
         if first:
             self._q.put(None)                  # wake the batcher
+        if self._thread.is_alive():
+            # join on EVERY call (not just the first): the documented
+            # recovery for a drain timeout is calling close() again with a
+            # larger timeout, which must actually wait again
             self._thread.join(timeout)
         if self._exc is not None:
             raise RuntimeError('server batcher died') from self._exc
@@ -238,11 +255,16 @@ class InferenceServer:
 
 
 def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
-                max_wait_ms: float = 2.0) -> InferenceServer:
+                max_wait_ms: float = 2.0, example_shape: Optional[tuple] = None,
+                example_dtype=None) -> InferenceServer:
     """InferenceServer over a zoo ``PretrainedModel`` (channels-last input).
 
     ``mode`` follows the module contract ('forward' | 'features' |
-    'logits')."""
+    'logits'). Pass ``example_shape`` (channels-last, e.g. ``(224,224,3)``,
+    from ``model.input_size`` CHW metadata) in production so a malformed
+    first request can never define the served signature; when omitted the
+    first request defines it, which keeps fully-convolutional models
+    servable at any resolution."""
     module = model.module
 
     def apply_fn(variables, x):
@@ -253,4 +275,6 @@ def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
     example_ndim = (getattr(model, 'input_ndim', None) or 4) - 1
     return InferenceServer(apply_fn, model.variables, max_batch=max_batch,
                            max_wait_ms=max_wait_ms,
-                           example_ndim=example_ndim)
+                           example_ndim=example_ndim,
+                           example_shape=example_shape,
+                           example_dtype=example_dtype)

@@ -1,5 +1,6 @@
 from .misc import (HTML, cache, chunks, class_accuracy, lazy_property,  # noqa: F401
-                   log_add, softmax, sort, topk_accuracy, AverageMeter)
+                   log_add, softmax, sort, topk_accuracy, AverageMeter,
+                   DeviceRunningSums)
 from .size import SizeEstimator  # noqa: F401
 from .profiling import StepTimer, flops_estimate, op_shapes, trace  # noqa: F401
 from .debugging import assert_finite, checked, grad_stats  # noqa: F401

@@ -133,6 +133,43 @@ class AverageMeter:
         self.avg = self.sum / max(self.count, 1)
 
 
+class DeviceRunningSums:
+    """Accumulates a dict of per-step DEVICE scalars without host syncs.
+
+    The example loops must never device_get per step: that blocks step
+    i+1's dispatch behind step i's completion, serializing the loop
+    against device round-trips (CLAUDE.md invariant). Instead, ``update``
+    adds the step's scalar dict into a device-resident running-sum tree
+    (async dispatch) and ``snapshot()`` materializes (last, totals) with
+    ONE host sync — call it only at print boundaries / loop end."""
+
+    def __init__(self):
+        self.last = None       # the most recent step's device dict
+        self.sums = None       # elementwise running sums (device)
+        self.steps = 0
+
+    def __bool__(self):
+        return self.sums is not None
+
+    def update(self, out: dict):
+        self.last = out
+        self.sums = (dict(out) if self.sums is None
+                     else {k: self.sums[k] + out[k] for k in self.sums})
+        self.steps += 1
+
+    def snapshot(self):
+        """One host sync: returns (last_step_dict, totals_dict) as floats."""
+        import jax
+        last, sums = jax.device_get((self.last, self.sums))
+        return ({k: float(v) for k, v in last.items()},
+                {k: float(v) for k, v in sums.items()})
+
+    def totals(self):
+        """One host sync: the running totals as floats."""
+        import jax
+        return {k: float(v) for k, v in jax.device_get(self.sums).items()}
+
+
 def topk_accuracy(output, target, topk=(1,)) -> List[float]:
     """Top-k accuracy in percent (reference: imagenet_eval.py:288-301)."""
     output = np.asarray(output)

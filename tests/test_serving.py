@@ -146,3 +146,41 @@ def test_serving_rejects_mismatched_request_not_kills_server(rng):
         assert good.result(timeout=60).shape == (5,)
         again = srv.submit(rng.randn(3, 4).astype(np.float32))
         assert again.result(timeout=60).shape == (5,)
+
+
+def test_serving_rejects_empty_batch(rng):
+    """A zero-row batch fails its caller (it would blow up the batcher's
+    pad-to-bucket broadcast and kill the server for everyone)."""
+    variables = _vars(rng)
+    with InferenceServer(_linear_apply, variables, max_batch=8,
+                         max_wait_ms=1.0, example_ndim=2) as srv:
+        with pytest.raises(ValueError, match='empty batch'):
+            srv.submit(np.empty((0, 3, 4), np.float32))   # 0-example batch
+        assert srv.submit(rng.randn(3, 4).astype(np.float32)) \
+            .result(timeout=60).shape == (5,)
+
+
+def test_serving_pinned_signature(rng):
+    """example_shape/example_dtype pin the served signature at
+    construction: a malformed FIRST request is rejected instead of
+    poisoning the signature for all later (correct) traffic."""
+    variables = _vars(rng)
+    with InferenceServer(_linear_apply, variables, max_batch=8,
+                         max_wait_ms=1.0, example_ndim=2,
+                         example_shape=(3, 4),
+                         example_dtype=np.float32) as srv:
+        with pytest.raises(ValueError, match='signature'):
+            srv.submit(rng.randn(3, 5).astype(np.float32))  # wrong 1st req
+        assert srv.submit(rng.randn(3, 4).astype(np.float32)) \
+            .result(timeout=60).shape == (5,)
+
+
+def test_serving_close_retry_joins_again(rng):
+    """A second close() call must actually wait again (join), per its own
+    error message's advice — not raise instantly."""
+    variables = _vars(rng)
+    srv = InferenceServer(_linear_apply, variables, max_batch=4,
+                          max_wait_ms=1.0, example_ndim=2)
+    srv.submit(rng.randn(3, 4).astype(np.float32)).result(timeout=60)
+    srv.close(timeout=60)
+    srv.close(timeout=60)      # idempotent; second call must not raise
