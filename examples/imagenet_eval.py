@@ -59,6 +59,11 @@ def parse_args():
                    help='gradient accumulation: split each batch into N '
                         'sequential microbatches inside the jitted step '
                         '(activation HBM bounded by the microbatch)')
+    p.add_argument('--compile-cache', nargs='?', const='1', default=None,
+                   metavar='DIR',
+                   help='persistent XLA compilation cache (optional DIR; '
+                        'defaults to ~/.cache/pretorched/xla). Repeat runs '
+                        'skip the tens-of-seconds model compile.')
     return p.parse_args()
 
 
@@ -68,6 +73,9 @@ def main():
     if args.cpu:
         # env-var overrides don't stick here (site hook); use the config API
         jax.config.update('jax_platforms', 'cpu')
+    if args.compile_cache is not None:
+        from pretorched_tpu.utils.compile_cache import enable_from_flag
+        print(f"=> XLA compile cache: {enable_from_flag(args.compile_cache)}")
     import jax.numpy as jnp
 
     import pretorched_tpu as pretorched

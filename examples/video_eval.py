@@ -47,6 +47,10 @@ def parse_args():
     p.add_argument('--workers', '-j', default=8, type=int)
     p.add_argument('--print-freq', default=10, type=int)
     p.add_argument('--cpu', action='store_true')
+    p.add_argument('--compile-cache', nargs='?', const='1', default=None,
+                   metavar='DIR',
+                   help='persistent XLA compilation cache (optional DIR; '
+                        'defaults to ~/.cache/pretorched/xla)')
     return p.parse_args()
 
 
@@ -81,6 +85,9 @@ def main():
     if args.cpu:
         # env-var overrides don't stick here (site hook); use the config API
         jax.config.update('jax_platforms', 'cpu')
+    if args.compile_cache is not None:
+        from pretorched_tpu.utils.compile_cache import enable_from_flag
+        print(f"=> XLA compile cache: {enable_from_flag(args.compile_cache)}")
     import jax.numpy as jnp
 
     import pretorched_tpu as pretorched

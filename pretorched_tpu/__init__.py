@@ -18,6 +18,11 @@ Public contract (parity with reference pretorched/__init__.py:11-83):
 
 from .__version__ import __version__  # noqa: F401
 
+# Persistent XLA compilation cache (opt-in via $PRETORCHED_COMPILE_CACHE).
+# Must run before any jit compile; a no-op when the env var is unset.
+from .utils.compile_cache import enable_from_env as _enable_compile_cache_from_env
+_enable_compile_cache_from_env()
+
 from . import models        # noqa: F401  (registers all factories/settings)
 from . import transforms    # noqa: F401
 from . import datasets      # noqa: F401

@@ -7,3 +7,5 @@ from .debugging import assert_finite, checked, grad_stats  # noqa: F401
 from .bucketing import (BucketedModel, bucket_dim, bucket_frames,  # noqa: F401
                         bucket_spatial, resample_frames_to_bucket,
                         resize_to_bucket)
+from .compile_cache import (default_cache_dir, enable_compile_cache,  # noqa: F401
+                            enable_from_env)

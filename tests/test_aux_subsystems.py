@@ -96,3 +96,33 @@ def test_profile_model_cli():
     rc = mod.main(['-a', 'resnet18', '-b', '1', '--size', '64',
                    '--num-classes', '7', '--cpu'])
     assert rc == 0
+
+
+def test_compile_cache_enable_and_populate(tmp_path, monkeypatch):
+    """compile_cache: flag/env parsing + a jit actually writes cache files."""
+    from pretorched_tpu.utils import compile_cache as cc
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # env parsing: unset -> None; truthy -> default dir; path -> path
+        monkeypatch.delenv('PRETORCHED_COMPILE_CACHE', raising=False)
+        assert cc.enable_from_env() is None
+        monkeypatch.setenv('PRETORCHED_COMPILE_CACHE', '1')
+        assert cc.enable_from_env() == cc.default_cache_dir()
+        assert cc.enable_from_flag(None) is None
+
+        cache_dir = cc.enable_from_flag(str(tmp_path / 'xla'))
+        assert cache_dir == str(tmp_path / 'xla')
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+
+        # a fresh compile must land in the cache directory
+        @jax.jit
+        def f(x):
+            return (x * 2.0 + 1.0).sum()
+
+        f(jnp.arange(512.0).reshape(8, 64)).block_until_ready()
+        import os
+        entries = os.listdir(cache_dir) if os.path.isdir(cache_dir) else []
+        assert entries, 'persistent compilation cache wrote no entries'
+    finally:
+        jax.config.update('jax_compilation_cache_dir', prev)
