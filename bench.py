@@ -572,6 +572,32 @@ def main():
                        f'videos/sec/chip'),
             'value': round(tb / dt, 2), 'unit': 'videos/s', 'batch': tb})
 
+    # -------------- 11. BigGAN-256 conditional sampling (BASELINE config 5)
+    def row_biggan():
+        from pretorched_tpu.gan.biggan import BigGAN
+        module = BigGAN(resolution=256, ch=96, num_classes=1000,
+                        dtype=jnp.bfloat16)
+        gb = int(os.environ.get('BENCH_GAN_BATCH', '32'))
+        z0 = jnp.zeros((1, module.latent_dim))
+        y0 = jnp.zeros((1,), jnp.int32)
+        variables = jax.jit(module.init)(jax.random.key(0), z0, y0)
+        labels = jnp.asarray(rng.randint(0, 1000, (gb,)), jnp.int32)
+
+        def gen(v, z):
+            img = module.apply(v, z, labels[:z.shape[0]])
+            return jnp.sum(img.astype(jnp.float32))   # full dependence
+
+        iters = max(ITERS // 2, 5)
+        z = jnp.asarray(rng.randn(gb, module.latent_dim), jnp.bfloat16)
+        dt, gb = timed_scan(gen, variables, z, iters, 'biggan256')
+        flops = cost_flops(jax.jit(gen), variables, z[:gb])
+        rows.append({
+            'metric': 'biggan256 ch96 class-conditional sampling bf16 '
+                      'images/sec/chip',
+            'value': round(gb / dt, 2), 'unit': 'images/s', 'batch': gb,
+            'gflops_per_image': round(flops / gb / 1e9, 1),
+            'mfu': round(flops / gb * (gb / dt) / V5E_BF16_PEAK_FLOPS, 3)})
+
     suite = [
         ('resnet3d50', row_resnet3d50),
         ('train', row_train),
@@ -583,6 +609,7 @@ def main():
         ('pipeline', row_pipeline),
         ('attn', row_attn),
         ('trn', row_trn),
+        ('biggan', row_biggan),
     ]
     for i, (name, fn) in enumerate(suite):
         if ONLY and name not in ONLY.split(','):

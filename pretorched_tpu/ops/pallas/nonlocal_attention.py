@@ -85,9 +85,12 @@ def _nonlocal_attention_fwd_lse(q, k, v, scale: float = 1.0,
     q may have a different sequence length than k/v (the reference's
     ``sub_sample`` max-pools phi/g to N/8 keys, nonlocalnet.py:126-131):
     each side pads to its own block multiple and the key mask uses the
-    key count."""
+    key count. v may also have a different CHANNEL count than q/k (SAGAN
+    attention in gan/biggan.py: theta/phi at C/8, g at C/2) — the output
+    takes v's."""
     b, n, c = q.shape
     nk = k.shape[1]
+    cv = v.shape[2]
     bq = min(block_q, _round_up(n, 128))
     bk = min(block_k, _round_up(nk, 128))
     n_pad = _round_up(n, bq)
@@ -102,27 +105,27 @@ def _nonlocal_attention_fwd_lse(q, k, v, scale: float = 1.0,
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
             pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, bk, cv), lambda i, j, kk: (i, kk, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bq, cv), lambda i, j, kk: (i, j, 0)),
             # (1, bq, 1) keeps the TPU (8, 128)-divisibility rule satisfied
             # for any batch (a (1, bq) row block fails to lower when b > 1)
             pl.BlockSpec((1, bq, 1), lambda i, j, kk: (i, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, cv), q.dtype),
             jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),     # running max
             pltpu.VMEM((bq, 1), jnp.float32),     # running normalizer
-            pltpu.VMEM((bq, c), jnp.float32),     # output accumulator
+            pltpu.VMEM((bq, cv), jnp.float32),    # output accumulator
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * n_pad * nk_pad * c,
-            bytes_accessed=(b * n_pad * c + 3 * b * nk_pad * c) * 4,
+            flops=2 * b * n_pad * nk_pad * (c + cv),
+            bytes_accessed=(b * n_pad + b * nk_pad) * (c + cv) * 4,
             transcendentals=b * n_pad * nk_pad),
     )(qp, kp, vp)
     return out[:, :n], lse[:, :n, 0]
@@ -212,9 +215,11 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
     """Flash-style blockwise backward: O(N) memory, never materializes the
     N x N affinity (VERDICT r1 #5; replaces the reference-VJP fallback that
     did — nonlocalnet.py:143-166 is the O(N^2) formulation). Rectangular
-    q vs k/v (sub_sample) pads each side to its own block multiple."""
+    q vs k/v (sub_sample) pads each side to its own block multiple; v (and
+    do/dv) may carry a different channel count than q/k (SAGAN)."""
     b, n, c = q.shape
     nk = k.shape[1]
+    cv = v.shape[2]
     bq = min(block_q, _round_up(n, 128))
     bk = min(block_k, _round_up(nk, 128))
     n_pad = _round_up(n, bq)
@@ -236,8 +241,8 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
             pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bk, cv), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, bq, cv), lambda i, j, kk: (i, j, 0)),
             pl.BlockSpec((1, bq, 1), row_spec),
             pl.BlockSpec((1, bq, 1), row_spec),
         ],
@@ -246,7 +251,7 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
         scratch_shapes=[pltpu.VMEM((bq, c), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=6 * b * n_pad * nk_pad * c,
+            flops=4 * b * n_pad * nk_pad * c + 2 * b * n_pad * nk_pad * cv,
             bytes_accessed=6 * b * n_pad * c * 4,
             transcendentals=b * n_pad * nk_pad),
     )(qp, kp, vp, dop, lsep, deltap)
@@ -259,25 +264,25 @@ def _nonlocal_attention_bwd_blockwise(q, k, v, o, lse, do, scale: float = 1.0,
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda i, j, qq: (i, qq, 0)),
             pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
-            pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
-            pl.BlockSpec((1, bq, c), lambda i, j, qq: (i, qq, 0)),
+            pl.BlockSpec((1, bk, cv), lambda i, j, qq: (i, j, 0)),
+            pl.BlockSpec((1, bq, cv), lambda i, j, qq: (i, qq, 0)),
             pl.BlockSpec((1, bq, 1), qcol_spec),
             pl.BlockSpec((1, bq, 1), qcol_spec),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
-            pl.BlockSpec((1, bk, c), lambda i, j, qq: (i, j, 0)),
+            pl.BlockSpec((1, bk, cv), lambda i, j, qq: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, nk_pad, c), k.dtype),
-            jax.ShapeDtypeStruct((b, nk_pad, c), v.dtype),
+            jax.ShapeDtypeStruct((b, nk_pad, cv), v.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((bk, c), jnp.float32),
-                        pltpu.VMEM((bk, c), jnp.float32)],
+                        pltpu.VMEM((bk, cv), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=8 * b * n_pad * nk_pad * c,
-            bytes_accessed=8 * b * nk_pad * c * 4,
+            flops=4 * b * n_pad * nk_pad * (c + cv),
+            bytes_accessed=8 * b * nk_pad * (c + cv) * 2,
             transcendentals=b * n_pad * nk_pad),
     )(qp, kp, vp, dop, lsep, deltap)
     return dq[:, :n], dk[:, :nk], dv[:, :nk]

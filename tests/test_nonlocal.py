@@ -241,3 +241,40 @@ def test_pallas_attention_compiled_on_tpu():
                          argnums=(0, 1, 2)))(q, ks, vs)
     assert g[1].shape == ks.shape and g[2].shape == vs.shape
     assert all(np.isfinite(np.asarray(x)).all() for x in g)
+
+
+def test_pallas_attention_rectangular_channels():
+    """v with a different CHANNEL count than q/k — the SAGAN layout
+    (gan/biggan.py SelfAttention: theta/phi at C/8, g at C/2). Found r3:
+    the wrapper sized v's BlockSpec and the output from q's channels, so
+    the kernel silently read the first C_q channels of v and returned the
+    wrong width (BigGAN-256 sampling crashed on the reshape). Forward +
+    dq/dk/dv vs the reference."""
+    from pretorched_tpu.ops.pallas.nonlocal_attention import (
+        _nonlocal_attention_ad, nonlocal_attention,
+        nonlocal_attention_reference)
+    rng = np.random.RandomState(3)
+    q = rng.randn(2, 300, 16).astype(np.float32)
+    k = rng.randn(2, 72, 16).astype(np.float32)
+    v = rng.randn(2, 72, 64).astype(np.float32)
+    ct = rng.randn(2, 300, 64).astype(np.float32)
+
+    ref = np.asarray(nonlocal_attention_reference(q, k, v))
+    got = np.asarray(nonlocal_attention(q, k, v, interpret=True))
+    assert got.shape == (2, 300, 64)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def loss_pallas(q, k, v):
+        return (jax.numpy.asarray(ct) *
+                _nonlocal_attention_ad(q, k, v, 1.0, True)).sum()
+
+    def loss_ref(q, k, v):
+        return (jax.numpy.asarray(ct) *
+                nonlocal_attention_reference(q, k, v)).sum()
+
+    got_g = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    ref_g = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got_g, ref_g, 'qkv'):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f'd{name} rect-channels')
