@@ -240,9 +240,13 @@ def main():
         # makes batches equal-size, so the mean of per-step means is the
         # exact epoch mean.
         meters = DeviceRunningSums()
+        # multi-host: each process trains on its own deterministic shard of
+        # the same global shuffle (equal batch counts keep psums in lockstep)
         for i, (images, labels) in enumerate(batch_iterator(
                 train_set, args.batch_size, shuffle=True, drop_last=True,
-                num_workers=args.workers, seed=epoch)):
+                num_workers=args.workers, seed=epoch,
+                shard_id=jax.process_index(),
+                num_shards=jax.process_count())):
             x = to_channels_last(jnp.asarray(images))
             params, batch_stats, opt_state, metrics = train_step(
                 params, batch_stats, opt_state, x, jnp.asarray(labels),

@@ -102,12 +102,25 @@ class ImageFolder:
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
                    num_workers: int = 8, drop_last: bool = False,
-                   seed: int = 0, prefetch: int = 2
+                   seed: int = 0, prefetch: int = 2,
+                   shard_id: int = 0, num_shards: int = 1
                    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Threaded loader yielding (stacked images, labels) numpy batches."""
+    """Threaded loader yielding (stacked images, labels) numpy batches.
+
+    ``shard_id``/``num_shards`` give each process of a multi-host job a
+    disjoint, deterministic subset (pass ``jax.process_index()`` /
+    ``jax.process_count()``): every process shuffles the SAME global order
+    from ``seed``, the order is truncated to a multiple of ``num_shards``,
+    and shards take strided slices — so all shards yield the SAME number of
+    batches and per-process train steps stay collectively in lockstep
+    (a shard with one extra batch would deadlock the psum)."""
+    assert 0 <= shard_id < num_shards, (shard_id, num_shards)
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
+    if num_shards > 1:
+        order = order[:len(order) - len(order) % num_shards]
+        order = order[shard_id::num_shards]
     batches = [order[i:i + batch_size]
                for i in range(0, len(order), batch_size)]
     if drop_last and batches and len(batches[-1]) < batch_size:

@@ -232,3 +232,42 @@ def test_fused_train_identity_when_no_freedom():
     match_flip = np.abs(tr - ev[:, :, ::-1, :]).max(axis=(1, 2, 3)) < 1e-5
     assert np.all(match | match_flip)
     assert match.any() and match_flip.any()   # p=0.5 each over 6 samples...
+
+
+def test_batch_iterator_multihost_sharding():
+    """shard_id/num_shards: disjoint deterministic shards of the same
+    global shuffle, equal batch counts per shard (collective lockstep),
+    and every retained sample appears in exactly one shard."""
+    from pretorched_tpu.datasets.folder import batch_iterator
+
+    class DS:
+        def __len__(self):
+            return 103          # not a multiple of num_shards
+
+        def __getitem__(self, i):
+            return np.full((2, 2, 3), i, np.float32), i
+
+    def collect(shard_id, num_shards):
+        labels = []
+        nbatches = 0
+        for _, lab in batch_iterator(DS(), batch_size=8, shuffle=True,
+                                     seed=7, num_workers=2,
+                                     shard_id=shard_id,
+                                     num_shards=num_shards):
+            labels.extend(lab.tolist())
+            nbatches += 1
+        return labels, nbatches
+
+    shards = [collect(s, 4) for s in range(4)]
+    sizes = [len(lab) for lab, _ in shards]
+    counts = [nb for _, nb in shards]
+    assert sizes == [25, 25, 25, 25]          # 103 -> truncated to 100
+    assert counts == [4] * 4                  # equal batch counts
+    union = sorted(sum((lab for lab, _ in shards), []))
+    assert len(set(union)) == 100             # disjoint
+    # deterministic: same seed reproduces the same shard
+    again, _ = collect(2, 4)
+    assert again == shards[2][0]
+    # single-shard default is unchanged
+    all_lab, _ = collect(0, 1)
+    assert sorted(all_lab) == list(range(103))
