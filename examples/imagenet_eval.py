@@ -273,9 +273,15 @@ def main():
 
 def save_checkpoint(variables, arch, epoch, best_prec1,
                     is_best, filename='checkpoint.msgpack'):
-    """Reference: imagenet_eval.py:256-259 (+ best-copy)."""
+    """Reference: imagenet_eval.py:256-259 (+ best-copy).
+
+    Multi-host: params are replicated, so only process 0 writes — every
+    process writing the same path on a shared filesystem is a race."""
     import shutil
 
+    import jax
+    if jax.process_index() != 0:
+        return
     from flax import serialization
     with open(filename, 'wb') as f:
         f.write(serialization.to_bytes(variables))
