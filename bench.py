@@ -179,6 +179,17 @@ def main():
 
     rng = np.random.RandomState(0)
 
+    def rand_batch(shape, dtype=jnp.bfloat16):
+        """One random item broadcast over the batch dim, built ON DEVICE.
+
+        The naive ``rng.rand(*shape)`` builds a float64 host array first —
+        the slowfast input (b128 x 64f x 224px) is 39.5 GB and takes the
+        1-core sandbox host MINUTES to fill, eating the bench time budget
+        (r3: rows 7-11 got skipped). Conv/BN eval timing is data-
+        independent, so identical batch items measure identically."""
+        one = jnp.asarray(rng.rand(1, *shape[1:]), dtype)
+        return jnp.broadcast_to(one, tuple(shape))
+
     # ------------------------------------------------ 1. resnet3d50 headline
     def row_resnet3d50():
         model = pretorched.resnet3d50(num_classes=400, pretrained=None)
@@ -186,8 +197,7 @@ def main():
         # exact space-to-depth stem folding: +5% on v5e, bit-identical outputs
         module = dataclasses.replace(model.module, s2d_stem=True)
         variables = model.variables
-        clip = jnp.asarray(rng.rand(BATCH, FRAMES, SIZE, SIZE, 3),
-                           jnp.bfloat16)
+        clip = rand_batch((BATCH, FRAMES, SIZE, SIZE, 3))
 
         def fwd(v, c):
             return module.apply(v, c)[0, 0]
@@ -242,8 +252,8 @@ def main():
                 bs = jax.tree_util.tree_map(jnp.copy,
                                             variables['batch_stats'])
                 os_ = tx.init(p)
-                clip = jnp.asarray(rng.rand(batch, FRAMES, SIZE, SIZE, 3),
-                                   jnp.float32)
+                clip = rand_batch((batch, FRAMES, SIZE, SIZE, 3),
+                                  jnp.float32)
                 labels = jnp.asarray(np.arange(batch) % 400)
                 t0 = time.perf_counter()
                 p, bs, os_, m = step(p, bs, os_, clip, labels, 0)
@@ -288,7 +298,7 @@ def main():
     def row_resnet50():
         m2 = pretorched.resnet50(num_classes=1000, pretrained=None)
         m2.bfloat16()
-        img = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3), jnp.bfloat16)
+        img = rand_batch((BATCH, SIZE, SIZE, 3))
 
         def fwd2(v, x):
             return m2.apply(v, x)[0, 0]
@@ -309,8 +319,7 @@ def main():
         sf_frames = max(FRAMES, 64)
         # v5e sweep: b16 227, b32 338, b64 518, b128 717.8 clips/s, b256 OOM
         sf_batch = int(os.environ.get('BENCH_SF_BATCH', min(BATCH, 128)))
-        clip = jnp.asarray(rng.rand(sf_batch, sf_frames, SIZE, SIZE, 3),
-                           jnp.bfloat16)
+        clip = rand_batch((sf_batch, sf_frames, SIZE, SIZE, 3))
 
         def fwds(v, c):
             return module.apply(v, c)[0, 0]
@@ -338,8 +347,7 @@ def main():
         # r2plus1d.py:155-173 smoke uses 112); BASELINE config 4 family.
         r21_size = int(os.environ.get('BENCH_R21_SIZE', '112'))
         r21_batch = int(os.environ.get('BENCH_R21_BATCH', str(BATCH)))
-        clip = jnp.asarray(rng.rand(r21_batch, FRAMES, r21_size, r21_size, 3),
-                           jnp.bfloat16)
+        clip = rand_batch((r21_batch, FRAMES, r21_size, r21_size, 3))
 
         def fwdr(v, c):
             return module.apply(v, c)[0, 0]
@@ -367,8 +375,7 @@ def main():
         # r3 batch sweep: b8 89.6, b16 143.2, b32 200.0, b64 267.2,
         # b128 357.7 clips/s, b256 OOM -> default b128
         nl_batch = int(os.environ.get('BENCH_NL_BATCH', str(min(BATCH, 128))))
-        clip = jnp.asarray(rng.rand(nl_batch, nl_frames, SIZE, SIZE, 3),
-                           jnp.bfloat16)
+        clip = rand_batch((nl_batch, nl_frames, SIZE, SIZE, 3))
 
         def fwdn(v, c):
             return nl.apply(v, c)[0, 0]
@@ -397,8 +404,7 @@ def main():
         module = dataclasses.replace(model.module, s2d_stem=True)
         variables = model.variables
         nclips = 10
-        vids = jnp.asarray(rng.rand(12, nclips, FRAMES, SIZE, SIZE, 3),
-                           jnp.bfloat16)
+        vids = rand_batch((12, nclips, FRAMES, SIZE, SIZE, 3))
 
         def consensus(v, c):
             b, n = c.shape[:2]
@@ -446,8 +452,10 @@ def main():
         pbatch = min(BATCH, 128)
         iters = max(ITERS // 2, 5)
         while True:
-            raw = jnp.asarray(
-                rng.randint(0, 255, (pbatch, FRAMES, 256, 256, 3)), jnp.uint8)
+            raw = jnp.broadcast_to(
+                jnp.asarray(rng.randint(0, 255, (1, FRAMES, 256, 256, 3)),
+                            jnp.uint8),
+                (pbatch, FRAMES, 256, 256, 3))
 
             # uint8 input: thread a zero-valued uint8 carry into the input so
             # the loop body can't be hoisted as loop-invariant
@@ -548,7 +556,7 @@ def main():
             return c + (out * 0).astype(c.dtype), out
 
         while True:  # same OOM batch-halving the timed_scan rows get
-            clip = jnp.asarray(rng.rand(tb, 8, SIZE, SIZE, 3), jnp.bfloat16)
+            clip = rand_batch((tb, 8, SIZE, SIZE, 3))
             try:
                 t0 = time.perf_counter()
                 clip, out = fwdt(tvars, clip)
