@@ -24,6 +24,7 @@ Rows, ordered so the most important land inside the time budget first:
   8. fused uint8 decode->preprocess->forward device pipeline
   9. nonlocal attention kernel fwd+bwd, N=8192 (blockwise backward)
  10. TRN multi-scale relation head (MSTRN, resnet50 backbone, 8 segments)
+ 11. BigGAN-256 class-conditional sampling (BASELINE config 5)
 
 ``BENCH_TIME_BUDGET`` (seconds, default 1500) bounds the whole run: once the
 budget is spent, remaining rows are skipped with a note. The headline row
@@ -187,7 +188,11 @@ def main():
         1-core sandbox host MINUTES to fill, eating the bench time budget
         (r3: rows 7-11 got skipped). Conv/BN eval timing is data-
         independent, so identical batch items measure identically."""
-        one = jnp.asarray(rng.rand(1, *shape[1:]), dtype)
+        if jnp.issubdtype(dtype, jnp.integer):
+            one = jnp.asarray(rng.randint(0, 255, (1,) + tuple(shape[1:])),
+                              dtype)
+        else:
+            one = jnp.asarray(rng.rand(1, *shape[1:]), dtype)
         return jnp.broadcast_to(one, tuple(shape))
 
     # ------------------------------------------------ 1. resnet3d50 headline
@@ -452,10 +457,7 @@ def main():
         pbatch = min(BATCH, 128)
         iters = max(ITERS // 2, 5)
         while True:
-            raw = jnp.broadcast_to(
-                jnp.asarray(rng.randint(0, 255, (1, FRAMES, 256, 256, 3)),
-                            jnp.uint8),
-                (pbatch, FRAMES, 256, 256, 3))
+            raw = rand_batch((pbatch, FRAMES, 256, 256, 3), jnp.uint8)
 
             # uint8 input: thread a zero-valued uint8 carry into the input so
             # the loop body can't be hoisted as loop-invariant

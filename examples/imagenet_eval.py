@@ -81,7 +81,8 @@ def main():
     import pretorched_tpu as pretorched
     from pretorched_tpu.core.wrapper import to_channels_last
     from pretorched_tpu.datasets.folder import ImageFolder, batch_iterator
-    from pretorched_tpu.parallel import make_mesh, make_train_step
+    from pretorched_tpu.parallel import (global_batch, make_mesh,
+                                         make_train_step)
     from pretorched_tpu.parallel.evaluate import (make_eval_step,
                                                    multi_clip_eval_step,
                                                    pad_batch)
@@ -104,7 +105,22 @@ def main():
     scale = (args.scale if args.scale is not None
              else settings.get('scale', 0.875))
     mesh = make_mesh()
-    print(f"=> mesh: {dict(mesh.shape)}")
+    nproc = jax.process_count()
+    print(f"=> mesh: {dict(mesh.shape)} over {nproc} process(es)")
+
+    def feed(images, labels):
+        """Host batch -> device, channels-last, sharded over the mesh.
+
+        Single-process keeps the cheap path (contiguous NCHW transfer +
+        on-device transpose). Multi-host must assemble the GLOBAL batch from
+        each process's local one (parallel.global_batch) — a host-local
+        array fed into a jit sharded over a multi-host mesh either raises
+        or silently trains on 1/nproc of the data."""
+        import numpy as np
+        if nproc == 1:
+            return to_channels_last(jnp.asarray(images)), jnp.asarray(labels)
+        x = np.ascontiguousarray(np.moveaxis(np.asarray(images), 1, -1))
+        return global_batch(mesh, x), global_batch(mesh, np.asarray(labels))
 
     best_prec1 = 0.0
     if args.resume and os.path.isfile(args.resume):
@@ -160,7 +176,7 @@ def main():
         else:
             for images, labels in batch_iterator(
                     val_set, args.batch_size, num_workers=args.workers):
-                images = to_channels_last(jnp.asarray(images))
+                images, labels = feed(images, labels)
                 if args.bf16:
                     images = images.astype(jnp.bfloat16)
                 yield images, labels
@@ -215,7 +231,10 @@ def main():
     train_tf = TransformImage(settings, scale=scale, random_crop=True,
                               random_hflip=True)
     train_set = ImageFolder(traindir, transform=train_tf)
-    steps_per_epoch = max(len(train_set) // args.batch_size, 1)
+    # per-PROCESS steps per epoch: the sharded loader yields len/nproc
+    # samples per process, so the LR step-decay schedule (counted in this
+    # process's step_idx) stays aligned with data epochs on any host count
+    steps_per_epoch = max(len(train_set) // (args.batch_size * nproc), 1)
     tx = sgd_step_decay(args.lr, args.momentum, args.weight_decay,
                         decay_epochs=30, steps_per_epoch=steps_per_epoch)
     train_step = make_train_step(model.module, tx, mesh=mesh,
@@ -247,10 +266,9 @@ def main():
                 num_workers=args.workers, seed=epoch,
                 shard_id=jax.process_index(),
                 num_shards=jax.process_count())):
-            x = to_channels_last(jnp.asarray(images))
+            x, lab = feed(images, labels)
             params, batch_stats, opt_state, metrics = train_step(
-                params, batch_stats, opt_state, x, jnp.asarray(labels),
-                step_idx)
+                params, batch_stats, opt_state, x, lab, step_idx)
             step_idx += 1
             meters.update(metrics)
             batch_time.update(time.time() - end)

@@ -1,4 +1,5 @@
-from .mesh import make_mesh, model_shardings  # noqa: F401
+from .mesh import (make_mesh, model_shardings, batch_sharding,  # noqa: F401
+                   global_batch)
 from .dist import initialize  # noqa: F401
 from .evaluate import make_eval_step, sharded_accuracy_step  # noqa: F401
 from .train import make_train_step  # noqa: F401

@@ -64,3 +64,21 @@ def model_shardings(mesh: Mesh, variables, head_path: str = 'last_linear'):
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P('data'))
+
+
+def global_batch(mesh: Mesh, x, sharding: NamedSharding = None):
+    """Place a per-process host batch onto the mesh as one global array.
+
+    Single-process: a plain ``device_put`` (shards the local batch over the
+    'data' axis). Multi-process: every process passes ITS OWN local batch
+    (e.g. from ``datasets.folder.batch_iterator(shard_id=..., num_shards=
+    ...)``) and the result is the global array whose batch dim concatenates
+    all processes' batches — feeding a host-local array straight into a jit
+    sharded over a multi-host mesh either raises or silently uses 1/nproc
+    of the data, so every multi-host feed must go through this (or
+    ``jax.make_array_from_process_local_data`` directly)."""
+    sharding = sharding or batch_sharding(mesh)
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)

@@ -30,6 +30,7 @@ _DEFAULT_DIR = os.path.join(
     'pretorched', 'xla')
 
 _TRUTHY = ('1', 'true', 'yes', 'on')
+_FALSY = ('0', 'false', 'no', 'off')
 
 
 def default_cache_dir() -> str:
@@ -63,7 +64,7 @@ def enable_from_env(var: str = 'PRETORCHED_COMPILE_CACHE') -> str | None:
     :func:`default_cache_dir`.
     """
     val = os.environ.get(var, '').strip()
-    if not val:
+    if not val or val.lower() in _FALSY:
         return None
     directory = None if val.lower() in _TRUTHY else val
     return enable_compile_cache(directory)
@@ -78,5 +79,7 @@ def enable_from_flag(value: str | None) -> str | None:
     if value is None:
         return None
     val = value.strip()
+    if val.lower() in _FALSY:
+        return None
     directory = None if (not val or val.lower() in _TRUTHY) else val
     return enable_compile_cache(directory)

@@ -66,3 +66,44 @@ assert int(out['count']) == 8, out
 assert int(out['top1']) == top1, (int(out['top1']), top1)
 np.testing.assert_allclose(float(out['loss']), loss, rtol=1e-4)
 print(f'DIST-EVAL-OK proc={PID} top1={top1} loss={loss:.4f}', flush=True)
+
+# ---- sharded TRAINING across the two processes ---------------------------
+# Each process feeds its half-batch through parallel.global_batch; two
+# mesh-sharded make_train_step steps must reproduce a single-process
+# full-batch oracle exactly (GSPMD turns the grad/BN-stat averaging into
+# psums over the 4-device global mesh).
+import optax  # noqa: E402
+
+from pretorched_tpu.parallel import global_batch, make_train_step  # noqa: E402
+
+tx = optax.sgd(0.05, momentum=0.9)
+gx2 = global_batch(mesh, x_all[PID * 4:(PID + 1) * 4])
+gl2 = global_batch(mesh, labels_all[PID * 4:(PID + 1) * 4])
+
+p = jax.device_put(variables['params'],
+                   jax.tree_util.tree_map(lambda _: rep, variables['params']))
+bs = jax.device_put(variables['batch_stats'],
+                    jax.tree_util.tree_map(lambda _: rep,
+                                           variables['batch_stats']))
+ostate = tx.init(p)
+step_fn = make_train_step(module, tx, mesh=mesh, donate=False)
+for i in range(2):
+    p, bs, ostate, metrics = step_fn(p, bs, ostate, gx2, gl2, i)
+
+# single-process full-batch oracle (no mesh)
+po, bso = variables['params'], variables['batch_stats']
+oo = tx.init(po)
+oracle_fn = make_train_step(module, tx, donate=False)
+for i in range(2):
+    po, bso, oo, om = oracle_fn(po, bso, oo, jnp.asarray(x_all),
+                                jnp.asarray(labels_all), i)
+
+flat = jax.tree_util.tree_leaves_with_path(jax.device_get(p))
+flat_o = dict(jax.tree_util.tree_leaves_with_path(jax.device_get(po)))
+for path, leaf in flat:
+    np.testing.assert_allclose(leaf, flat_o[path], rtol=1e-4, atol=1e-5,
+                               err_msg=str(path))
+np.testing.assert_allclose(float(metrics['loss']), float(om['loss']),
+                           rtol=1e-4)
+print(f'DIST-TRAIN-OK proc={PID} loss={float(metrics["loss"]):.4f}',
+      flush=True)

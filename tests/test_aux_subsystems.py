@@ -103,13 +103,17 @@ def test_compile_cache_enable_and_populate(tmp_path, monkeypatch):
     from pretorched_tpu.utils import compile_cache as cc
 
     prev = jax.config.jax_compilation_cache_dir
+    prev_min_time = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
-        # env parsing: unset -> None; truthy -> default dir; path -> path
+        # env parsing: unset/falsy -> None; truthy -> default dir; path -> path
         monkeypatch.delenv('PRETORCHED_COMPILE_CACHE', raising=False)
+        assert cc.enable_from_env() is None
+        monkeypatch.setenv('PRETORCHED_COMPILE_CACHE', '0')
         assert cc.enable_from_env() is None
         monkeypatch.setenv('PRETORCHED_COMPILE_CACHE', '1')
         assert cc.enable_from_env() == cc.default_cache_dir()
         assert cc.enable_from_flag(None) is None
+        assert cc.enable_from_flag('off') is None
 
         cache_dir = cc.enable_from_flag(str(tmp_path / 'xla'))
         assert cache_dir == str(tmp_path / 'xla')
@@ -126,3 +130,5 @@ def test_compile_cache_enable_and_populate(tmp_path, monkeypatch):
         assert entries, 'persistent compilation cache wrote no entries'
     finally:
         jax.config.update('jax_compilation_cache_dir', prev)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          prev_min_time)

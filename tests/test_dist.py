@@ -72,3 +72,6 @@ def test_two_process_distributed_eval():
     for pid, (p_, out) in enumerate(zip(procs, outs)):
         assert p_.returncode == 0, f'worker {pid} failed:\n{out[-3000:]}'
         assert f'DIST-EVAL-OK proc={pid}' in out, out[-3000:]
+        # the same worker then runs two mesh-sharded train steps fed via
+        # parallel.global_batch and must match a single-process oracle
+        assert f'DIST-TRAIN-OK proc={pid}' in out, out[-3000:]
