@@ -110,7 +110,14 @@ def main():
     native_t = args.frames == 'native'
     fixed_frames = None if native_t else int(args.frames)
 
-    mesh = make_mesh()
+    # this CLI is single-PROCESS by design: native-T bucketing means each
+    # process's step sequence depends on its own videos' lengths, so a
+    # multi-host global mesh could never stay in collective lockstep. On a
+    # pod slice, run one process per host on its own directory split; each
+    # uses its local chips (a global mesh here would raise or hang on the
+    # host-local feeds).
+    mesh = (make_mesh(devices=jax.local_devices())
+            if jax.process_count() > 1 else make_mesh())
     step = multi_clip_eval_step(model.module, mesh=mesh)
     videos, classes = list_videos(args.data)
     print(f'=> {len(videos)} videos, {len(classes)} classes, '
