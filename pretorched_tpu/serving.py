@@ -49,6 +49,11 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+class ServerOverloaded(RuntimeError):
+    """Raised by ``submit`` when the queue holds ``max_queue`` examples —
+    load-shedding at admission instead of unbounded latency growth."""
+
+
 class InferenceServer:
     """Dynamic-batching executor over one jittable forward.
 
@@ -65,16 +70,29 @@ class InferenceServer:
         When omitted, the FIRST request defines it — convenient, but a
         wrong-shaped first request then rejects all correct traffic for
         the server's lifetime, so production callers should pin it.
+      max_queue: admission bound in EXAMPLES — ``submit`` raises
+        :class:`ServerOverloaded` once this many are queued (load shedding;
+        ``None`` = unbounded).
+      request_timeout_ms: a request still queued after this long is failed
+        with ``TimeoutError`` when the batcher reaches it, instead of
+        consuming device time its caller has likely stopped waiting for
+        (``None`` = never expire). In-flight batches are not cancelled.
     """
 
     def __init__(self, apply_fn: Callable, variables, *, max_batch: int = 64,
                  max_wait_ms: float = 2.0, example_ndim: Optional[int] = None,
-                 example_shape: Optional[tuple] = None, example_dtype=None):
+                 example_shape: Optional[tuple] = None, example_dtype=None,
+                 max_queue: Optional[int] = None,
+                 request_timeout_ms: Optional[float] = None):
         self._fn = jax.jit(apply_fn)
         self._variables = variables
         self.max_batch = int(max_batch)
         self.max_wait = max_wait_ms / 1000.0
         self.example_ndim = example_ndim
+        self.max_queue = max_queue
+        self._timeout = (None if request_timeout_ms is None
+                         else request_timeout_ms / 1000.0)
+        self._pending = 0          # queued examples (admission accounting)
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._exc: Optional[BaseException] = None
@@ -127,9 +145,20 @@ class InferenceServer:
                     f'request shape/dtype {x.shape[1:]}/{x.dtype} does not '
                     f'match the served signature '
                     f'{self._example_shape}/{self._example_dtype}')
+            if (self.max_queue is not None
+                    and self._pending + x.shape[0] > self.max_queue):
+                raise ServerOverloaded(
+                    f'{self._pending} examples queued; admitting '
+                    f'{x.shape[0]} more would exceed max_queue '
+                    f'{self.max_queue}')
+            self._pending += x.shape[0]
             fut: Future = Future()
-            self._q.put((x, single, fut))
+            self._q.put((x, single, fut, time.monotonic()))
         return fut
+
+    def _dec_pending(self, k: int):
+        with self._lock:
+            self._pending -= k
 
     def __call__(self, x):
         """Synchronous convenience: submit + wait."""
@@ -162,11 +191,32 @@ class InferenceServer:
         self.close()
 
     # ------------------------------------------------------------ batcher
+    def _expired(self, item) -> bool:
+        """Fail a request that sat queued past request_timeout_ms."""
+        if self._timeout is None:
+            return False
+        x, _, fut, t0 = item
+        if time.monotonic() - t0 <= self._timeout:
+            return False
+        fut.set_exception(TimeoutError(
+            f'request expired after {self._timeout * 1000:.0f} ms in queue '
+            f'(request_timeout_ms; the server is overloaded)'))
+        self._dec_pending(x.shape[0])
+        return True
+
     def _take_batch(self):
-        """Collect queued requests up to max_batch (None = shutdown)."""
-        item = self._q.get()
-        if item is None:
-            return None
+        """Collect queued requests up to max_batch. Returns None on
+        shutdown, or [] when it only expired stale requests and the queue
+        drained — the loop must get a chance to resolve the in-flight
+        bucket instead of blocking here while its futures wait."""
+        while True:
+            item = self._q.get()
+            if item is None:
+                return None
+            if not self._expired(item):
+                break
+            if self._q.empty():
+                return []
         items = [item]
         n = item[0].shape[0]
         t_end = time.monotonic() + self.max_wait
@@ -180,6 +230,8 @@ class InferenceServer:
             if nxt is None:
                 self._q.put(None)              # re-signal shutdown
                 break
+            if self._expired(nxt):
+                continue
             if n + nxt[0].shape[0] > self.max_batch:
                 # doesn't fit this bucket: run it in the next one
                 self._q.put(nxt)
@@ -203,7 +255,9 @@ class InferenceServer:
                 items = self._take_batch()
                 if items is None:
                     break
-                xs = np.concatenate([x for x, _, _ in items], axis=0)
+                if not items:      # only expired stale requests: re-check
+                    continue       # the in-flight bucket before blocking
+                xs = np.concatenate([x for x, _, _, _ in items], axis=0)
                 n = xs.shape[0]
                 bucket = min(_next_pow2(n), self.max_batch)
                 if bucket > n:                  # pad with the last row
@@ -234,9 +288,11 @@ class InferenceServer:
                     break
                 if item is not None:
                     in_flight.append(item)
-            for _, _, fut in in_flight:
+            for item in in_flight:
+                fut = item[2]
                 if not fut.done():
                     fut.set_exception(e)
+                self._dec_pending(item[0].shape[0])
 
     @staticmethod
     def _split_outputs(out, start, stop):
@@ -245,18 +301,20 @@ class InferenceServer:
     def _resolve(self, items, n, out):
         out = jax.device_get(self._split_outputs(out, 0, n))
         off = 0
-        for x, single, fut in items:
+        for x, single, fut, _ in items:
             k = x.shape[0]
             piece = self._split_outputs(out, off, off + k)
             if single:
                 piece = jax.tree_util.tree_map(lambda o: o[0], piece)
             fut.set_result(piece)
+            self._dec_pending(k)
             off += k
 
 
 def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
                 max_wait_ms: float = 2.0, example_shape: Optional[tuple] = None,
-                example_dtype=None) -> InferenceServer:
+                example_dtype=None, max_queue: Optional[int] = None,
+                request_timeout_ms: Optional[float] = None) -> InferenceServer:
     """InferenceServer over a zoo ``PretrainedModel`` (channels-last input).
 
     ``mode`` follows the module contract ('forward' | 'features' |
@@ -277,4 +335,6 @@ def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
                            max_wait_ms=max_wait_ms,
                            example_ndim=example_ndim,
                            example_shape=example_shape,
-                           example_dtype=example_dtype)
+                           example_dtype=example_dtype,
+                           max_queue=max_queue,
+                           request_timeout_ms=request_timeout_ms)

@@ -184,3 +184,68 @@ def test_serving_close_retry_joins_again(rng):
     srv.submit(rng.randn(3, 4).astype(np.float32)).result(timeout=60)
     srv.close(timeout=60)
     srv.close(timeout=60)      # idempotent; second call must not raise
+
+
+def test_serving_overload_shedding(rng):
+    """max_queue: submit raises ServerOverloaded at admission once the
+    queued-example budget is full; capacity frees as requests resolve."""
+    from pretorched_tpu.serving import ServerOverloaded
+
+    gate = threading.Event()
+
+    def slow_apply(variables, x):
+        gate.wait(30)
+        return _linear_apply(variables, x)
+
+    variables = _vars(rng)
+    srv = InferenceServer(slow_apply, variables, max_batch=2, max_wait_ms=0.0,
+                          example_ndim=2, max_queue=2)
+    try:
+        xs = rng.randn(3, 4).astype(np.float32)            # one example
+        futs = [srv.submit(xs) for _ in range(2)]          # fills max_queue
+        with pytest.raises(ServerOverloaded):
+            srv.submit(xs)
+        gate.set()                                         # unblock batcher
+        for f in futs:
+            f.result(timeout=60)
+        # capacity freed: admission works again
+        srv.submit(xs).result(timeout=60)
+    finally:
+        gate.set()
+        srv.close()
+
+
+def test_serving_request_timeout_expires_stale(rng):
+    """request_timeout_ms: requests that sat queued past the deadline fail
+    with TimeoutError instead of consuming device time; fresh requests
+    afterwards still succeed."""
+    gate = threading.Event()
+    calls = []
+
+    def slow_apply(variables, x):
+        calls.append(x.shape[0])
+        gate.wait(30)
+        return _linear_apply(variables, x)
+
+    variables = _vars(rng)
+    srv = InferenceServer(slow_apply, variables, max_batch=2, max_wait_ms=0.0,
+                          example_ndim=2, request_timeout_ms=150.0)
+    try:
+        xs = rng.randn(3, 4).astype(np.float32)            # one example
+        first = srv.submit(xs)           # enters the batcher, blocks on gate
+        import time
+        time.sleep(0.05)
+        stale = srv.submit(xs)           # sits in the queue past 150ms
+        time.sleep(0.3)
+        gate.set()                       # first resolves; stale has expired
+        first.result(timeout=60)
+        with pytest.raises(TimeoutError):
+            stale.result(timeout=60)
+        # a fresh request is served normally
+        np.testing.assert_allclose(
+            srv.submit(xs).result(timeout=60),
+            np.asarray(_linear_apply(variables, jnp.asarray(xs[None])))[0],
+            rtol=1e-5, atol=1e-5)
+    finally:
+        gate.set()
+        srv.close()
