@@ -249,44 +249,66 @@ def main():
     # only runs after the end-of-epoch reassignment below.
     model.variables = {}
 
-    step_idx = args.start_epoch * steps_per_epoch
-    for epoch in range(args.start_epoch, args.epochs):
-        batch_time = AverageMeter()
-        end = time.time()
-        # per-step metrics accumulate ON DEVICE between prints
-        # (utils.misc.DeviceRunningSums): a per-step float() would block
-        # step i+1's dispatch behind step i's completion. drop_last=True
-        # makes batches equal-size, so the mean of per-step means is the
-        # exact epoch mean.
-        meters = DeviceRunningSums()
-        # multi-host: each process trains on its own deterministic shard of
-        # the same global shuffle (equal batch counts keep psums in lockstep)
-        for i, (images, labels) in enumerate(batch_iterator(
-                train_set, args.batch_size, shuffle=True, drop_last=True,
-                num_workers=args.workers, seed=epoch,
-                shard_id=jax.process_index(),
-                num_shards=jax.process_count())):
-            x, lab = feed(images, labels)
-            params, batch_stats, opt_state, metrics = train_step(
-                params, batch_stats, opt_state, x, lab, step_idx)
-            step_idx += 1
-            meters.update(metrics)
-            batch_time.update(time.time() - end)
-            end = time.time()
-            if i % args.print_freq == 0:
-                m, s = meters.snapshot()
-                print(f'Epoch: [{epoch}][{i}]\t'
-                      f'Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t'
-                      f"Loss {m['loss']:.4f} ({s['loss'] / (i + 1):.4f})\t"
-                      f"Acc@1 {100 * m['top1']:.3f} "
-                      f"({100 * s['top1'] / (i + 1):.3f})")
-        model.variables = {'params': params}
+    from pretorched_tpu.utils import PreemptionGuard
+
+    def snapshot_variables():
+        v = {'params': params}
         if batch_stats is not None:
-            model.variables['batch_stats'] = batch_stats
-        prec1 = validate()
-        is_best = prec1 > best_prec1
-        best_prec1 = max(prec1, best_prec1)
-        save_checkpoint(model.variables, args.arch, epoch, best_prec1, is_best)
+            v['batch_stats'] = batch_stats
+        return v
+
+    step_idx = args.start_epoch * steps_per_epoch
+    # TPU preemption safety: SIGTERM (spot/preemptible eviction notice)
+    # latches a flag; the step loop checkpoints mid-epoch and exits cleanly
+    # instead of losing the epoch (utils/preemption.py, SURVEY §5.3)
+    with PreemptionGuard() as guard:
+        for epoch in range(args.start_epoch, args.epochs):
+            batch_time = AverageMeter()
+            end = time.time()
+            # per-step metrics accumulate ON DEVICE between prints
+            # (utils.misc.DeviceRunningSums): a per-step float() would block
+            # step i+1's dispatch behind step i's completion. drop_last=True
+            # makes batches equal-size, so the mean of per-step means is the
+            # exact epoch mean.
+            meters = DeviceRunningSums()
+            # multi-host: each process trains on its own deterministic shard
+            # of the same global shuffle (equal batch counts keep psums in
+            # lockstep)
+            for i, (images, labels) in enumerate(batch_iterator(
+                    train_set, args.batch_size, shuffle=True, drop_last=True,
+                    num_workers=args.workers, seed=epoch,
+                    shard_id=jax.process_index(),
+                    num_shards=jax.process_count())):
+                x, lab = feed(images, labels)
+                params, batch_stats, opt_state, metrics = train_step(
+                    params, batch_stats, opt_state, x, lab, step_idx)
+                step_idx += 1
+                meters.update(metrics)
+                batch_time.update(time.time() - end)
+                end = time.time()
+                if i % args.print_freq == 0:
+                    m, s = meters.snapshot()
+                    print(f'Epoch: [{epoch}][{i}]\t'
+                          f'Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t'
+                          f"Loss {m['loss']:.4f} ({s['loss'] / (i + 1):.4f})\t"
+                          f"Acc@1 {100 * m['top1']:.3f} "
+                          f"({100 * s['top1'] / (i + 1):.3f})")
+                if guard.requested:
+                    # save with epoch-1 so --resume restarts THIS epoch (its
+                    # remaining batches were never seen; the deterministic
+                    # per-epoch shuffle replays it identically)
+                    model.variables = snapshot_variables()
+                    save_checkpoint(model.variables, args.arch, epoch - 1,
+                                    best_prec1, is_best=False)
+                    print(f'=> preemption signal: checkpointed at epoch '
+                          f'{epoch} step {i}; --resume restarts epoch {epoch}')
+                    return
+            model.variables = snapshot_variables()
+            prec1 = validate()
+            is_best = prec1 > best_prec1
+            best_prec1 = max(prec1, best_prec1)
+            save_checkpoint(model.variables, args.arch, epoch, best_prec1,
+                            is_best)
 
 
 def save_checkpoint(variables, arch, epoch, best_prec1,

@@ -9,3 +9,4 @@ from .bucketing import (BucketedModel, bucket_dim, bucket_frames,  # noqa: F401
                         resize_to_bucket)
 from .compile_cache import (default_cache_dir, enable_compile_cache,  # noqa: F401
                             enable_from_env)
+from .preemption import PreemptionGuard  # noqa: F401

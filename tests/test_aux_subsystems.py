@@ -132,3 +132,55 @@ def test_compile_cache_enable_and_populate(tmp_path, monkeypatch):
         jax.config.update('jax_compilation_cache_dir', prev)
         jax.config.update('jax_persistent_cache_min_compile_time_secs',
                           prev_min_time)
+
+
+def test_preemption_guard():
+    """SIGTERM latches the flag; a second signal chains to the previous
+    handler; handlers are restored on exit (utils/preemption.py — TPU
+    spot-eviction safety, SURVEY §5.3)."""
+    import signal
+
+    from pretorched_tpu.utils import PreemptionGuard
+
+    chained = []
+
+    def prev_handler(signum, frame):
+        chained.append(signum)
+
+    old = signal.signal(signal.SIGTERM, prev_handler)
+    try:
+        with PreemptionGuard() as guard:
+            assert not guard.requested
+            signal.raise_signal(signal.SIGTERM)
+            assert guard.requested
+            assert chained == []          # first signal only sets the flag
+            signal.raise_signal(signal.SIGTERM)
+            assert chained == [signal.SIGTERM]   # second one chains through
+        assert signal.getsignal(signal.SIGTERM) is prev_handler
+    finally:
+        signal.signal(signal.SIGTERM, old)
+
+
+def test_preemption_guard_loop_checkpoint(tmp_path):
+    """The documented wiring: a training-style loop polls the guard, saves
+    once mid-run, and stops — matching examples/imagenet_eval.py."""
+    import signal
+
+    from pretorched_tpu.utils import PreemptionGuard
+    from pretorched_tpu.zoo.checkpoint import load_checkpoint, save_checkpoint
+
+    state = {'w': np.zeros((2, 2), np.float32)}
+    saved_at = []
+    with PreemptionGuard(signals=(signal.SIGUSR1,)) as guard:
+        for step in range(100):
+            state = {'w': state['w'] + 1.0}
+            if step == 3:
+                signal.raise_signal(signal.SIGUSR1)
+            if guard.requested:
+                save_checkpoint(str(tmp_path / 'ckpt'), state)
+                saved_at.append(step)
+                break
+    assert saved_at == [3]
+    restored = load_checkpoint(str(tmp_path / 'ckpt'), template=state)
+    np.testing.assert_array_equal(np.asarray(restored['w']),
+                                  np.full((2, 2), 4.0, np.float32))
