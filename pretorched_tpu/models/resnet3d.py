@@ -221,30 +221,40 @@ class VideoResNet(nn.Module):
     # ---------------------------------------------------------------- forward
     @nn.compact
     def __call__(self, x, mode: str = 'forward', head: bool = True,
-                 train: bool = False):
+                 train: bool = False, stage_slice=None):
+        """``stage_slice=(lo, hi)`` runs only pipeline segments lo..hi-1 of
+        [stem+layer1, layer2, layer3, layer4+pool+head] — the static split
+        used by ``parallel.pipeline.pipeline_apply_stages`` to place the
+        net's four resolution stages on a 'stage' mesh axis. ``None`` (the
+        default) is the full forward; composing the four slices is
+        numerically identical to it (same modules, same order)."""
+        lo, hi = (0, 4) if stage_slice is None else stage_slice
         block_fn = self._block_fn()
         if mode in ('forward', 'features'):
-            if self.s2d_stem and not self.factored:
-                from .layers import SpaceToDepthConv
-                x = SpaceToDepthConv(64, 7, ndim=3, dtype=self.dtype,
-                                     name='conv1')(x)
-            else:
-                # factored (R(2+1)D) stems fold their spatial half when
-                # s2d_stem is set — the 3-channel input is the MXU-lane
-                # waster; the (kt,1,1) temporal conv is unaffected
-                x = self._conv(x, 64, 7, 'conv1', stride=(1, 2, 2), padding=3,
-                               train=train, s2d=self.s2d_stem)
-            x = relu(self._bn(x, 'bn1', train))
-            x = max_pool(x, 3, 2, 1)
+            if lo == 0:
+                if self.s2d_stem and not self.factored:
+                    from .layers import SpaceToDepthConv
+                    x = SpaceToDepthConv(64, 7, ndim=3, dtype=self.dtype,
+                                         name='conv1')(x)
+                else:
+                    # factored (R(2+1)D) stems fold their spatial half when
+                    # s2d_stem is set — the 3-channel input is the MXU-lane
+                    # waster; the (kt,1,1) temporal conv is unaffected
+                    x = self._conv(x, 64, 7, 'conv1', stride=(1, 2, 2),
+                                   padding=3, train=train, s2d=self.s2d_stem)
+                x = relu(self._bn(x, 'bn1', train))
+                x = max_pool(x, 3, 2, 1)
             inplanes = 64
             for stage, (planes, blocks, stride) in enumerate(
                     zip(self.width_per_stage, self.layers, (1, 2, 2, 2)), start=1):
                 for i in range(blocks):
                     s = stride if i == 0 else 1
                     down = s != 1 or inplanes != planes * self.expansion
-                    x = block_fn(x, planes, s, down, f'layer{stage}.{i}', train)
+                    if lo <= stage - 1 < hi:
+                        x = block_fn(x, planes, s, down, f'layer{stage}.{i}',
+                                     train)
                     inplanes = planes * self.expansion
-            if mode == 'features':
+            if mode == 'features' or hi < 4:
                 return x
         if mode in ('forward', 'logits'):
             x = global_avg_pool(x)
@@ -254,6 +264,38 @@ class VideoResNet(nn.Module):
 
 
 TORCH_RENAMES = {'last_linear': 'fc'}
+
+# pipeline split points of ``stage_slice`` (see __call__): top-level flat
+# param names belonging to each of the four 'stage'-axis segments
+PIPELINE_STAGE_PREFIXES = (('conv1', 'bn1', 'layer1'), ('layer2',),
+                           ('layer3',), ('layer4', 'last_linear'))
+
+
+def split_stage_variables(variables):
+    """Partition a VideoResNet variable tree into the four pipeline stages'
+    subtrees (by the flat torch-style top-level names), for
+    ``parallel.pipeline.pipeline_apply_stages``."""
+    out = []
+    for prefixes in PIPELINE_STAGE_PREFIXES:
+        sub = {}
+        for coll, tree in variables.items():
+            keep = {k: v for k, v in tree.items()
+                    if k.split('.')[0] in prefixes}
+            if keep:
+                sub[coll] = keep
+        out.append(sub)
+    return out
+
+
+def pipeline_stage_fns(module):
+    """The four ``(stage_variables, x) -> y`` callables matching
+    ``split_stage_variables`` — each applies one resolution stage via
+    ``stage_slice``; composed in order they equal the full forward."""
+    def make(lo, hi):
+        def fn(variables, h):
+            return module.apply(variables, h, stage_slice=(lo, hi))
+        return fn
+    return [make(i, i + 1) for i in range(4)]
 
 CONFIGS = {
     'resnet3d10': ('basic', (1, 1, 1, 1)),

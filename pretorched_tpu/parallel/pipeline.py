@@ -129,6 +129,96 @@ def pipeline_apply(block_fn: Callable, stacked_params, x, mesh: Mesh,
     return fn(stacked_params, x)
 
 
+def pipeline_apply_stages(stage_fns: Sequence[Callable], stage_params, x,
+                          mesh: Mesh, *, n_micro: int,
+                          stage_axis: str = 'stage',
+                          batch_axes: Sequence[str] = ()):
+    """GPipe over S *heterogeneous* stages — e.g. a ResNet's four resolution
+    stages, whose activation shapes and parameter trees all differ.
+
+    ``stage_fns[i](stage_params[i], x_micro) -> y_micro`` is stage i's
+    forward (any shapes; chained shapes are inferred with ``eval_shape``).
+    Device s of the 'stage' axis executes stage s; activations travel
+    stage-to-stage as flat buffers padded to the largest boundary (a
+    ``lax.ppermute`` per tick, one ICI hop), and each device picks its
+    computation with ``lax.switch`` on its stage index.
+
+    Unlike ``pipeline_apply`` (homogeneous trunk, params sharded on
+    'stage'), stage params here are replicated: with heterogeneous trees
+    there is no stacked axis to shard. That is the right trade for conv
+    zoos — a resnet3d50 is ~46M params but tens of GB of activations at
+    video shapes, so pp is an *activation*-memory axis here; each device
+    only materializes its own stage's intermediates.
+
+    The 'data' axis composes underneath exactly as in ``pipeline_apply``:
+    pass ``batch_axes=('data',)`` with the batch sharded on 'data'.
+
+    Returns the last stage's outputs for the full batch, numerically
+    identical to ``stage_fns`` composed sequentially.
+    """
+    import numpy as np
+
+    S = mesh.shape[stage_axis]
+    assert len(stage_fns) == S == len(stage_params), (len(stage_fns), S)
+    dp = 1
+    for a in batch_axes:
+        dp *= mesh.shape[a]
+    assert x.shape[0] % (dp * n_micro) == 0, (
+        f'batch {x.shape[0]} must divide by data shards ({dp}) x '
+        f'microbatches ({n_micro})')
+    micro = x.shape[0] // (dp * n_micro)
+
+    # boundary ShapeDtypeStructs, chained through the stages
+    bounds = [jax.ShapeDtypeStruct((micro,) + x.shape[1:], x.dtype)]
+    for fn, p in zip(stage_fns, stage_params):
+        bounds.append(jax.eval_shape(fn, p, bounds[-1]))
+    dtypes = {b.dtype for b in bounds}
+    assert len(dtypes) == 1, f'stage boundaries must share a dtype: {dtypes}'
+    sizes = [int(np.prod(b.shape)) for b in bounds]
+    max_flat = max(sizes)
+
+    def staged(params_all, x_local):
+        stage = lax.axis_index(stage_axis)
+
+        def branch(i):
+            def run(buf):
+                h = buf[:sizes[i]].reshape(bounds[i].shape)
+                y = stage_fns[i](params_all[i], h)
+                y = y.reshape(-1)
+                return jnp.pad(y, (0, max_flat - sizes[i + 1]))
+            return run
+
+        branches = [branch(i) for i in range(S)]
+        xs = x_local.reshape((n_micro, micro) + x_local.shape[1:])
+        xs = xs.reshape(n_micro, -1)
+        xs = jnp.pad(xs, ((0, S - 1), (0, max_flat - sizes[0])))
+
+        fwd = [(i, i + 1) for i in range(S - 1)]
+
+        def tick(state, mb):
+            inp = lax.ppermute(state, stage_axis, fwd) if S > 1 else state
+            inp = jnp.where(stage == 0, mb, inp)
+            out = lax.switch(stage, branches, inp)
+            return out, out
+
+        state0 = jnp.zeros((max_flat,), x_local.dtype)
+        _, ys = lax.scan(tick, state0, xs)
+        ys = ys[S - 1:]                      # microbatch j exits at tick S-1+j
+        if S > 1:
+            # only the last stage holds real outputs (see pipeline_apply on
+            # why jnp.where, not mask-multiply)
+            ys = lax.psum(jnp.where(stage == S - 1, ys, jnp.zeros_like(ys)),
+                          stage_axis)
+        ys = ys[:, :sizes[-1]]
+        return ys.reshape((n_micro * micro,) + bounds[-1].shape[1:])
+
+    bspec = P(tuple(batch_axes) if batch_axes else None)
+    pspec = jax.tree_util.tree_map(lambda _: P(), list(stage_params))
+    fn = jax.shard_map(staged, mesh=mesh, in_specs=(pspec, bspec),
+                       out_specs=bspec, check_vma=False)
+    return fn(list(stage_params), x)
+
+
 def sequential_apply(block_fn: Callable, stacked_params, x):
     """Oracle: the same L blocks applied as a plain sequential scan."""
     def body(h, p):

@@ -1,0 +1,171 @@
+"""BASELINE configs 3-4 rehearsed through the golden workflow end-to-end
+(VERDICT r3 #5): fabricated hosted-format .pth -> convert-once cache ->
+bit-faithful variable roundtrip -> convert_weights golden capture ->
+multi-clip video_eval CLI — the exact command sequence that will run the day
+the real Moments/Kinetics weights land.
+
+Config 3 (BASELINE.json): resnet3d50 pretrained on Moments in Time,
+16-frame single-clip inference.
+Config 4: non-local I3D-ResNet50 on Kinetics + TRN multi-scale head,
+10-clip consensus eval.
+
+The fabricated checkpoints are produced by the *inverse* converter
+(``model.export_torch_state_dict``) from a randomly initialised model, saved
+in the hosted formats the reference consumes (resnet3D.py:564 loads the url
+state_dict via load_url; DataParallel exports wrap it as
+{'state_dict': {'module.'+k: v}}) — so the forward conversion is checked
+against an independent ground truth, not against itself.
+"""
+
+import importlib.util
+import os
+import runpy
+import sys
+
+import jax
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+import pretorched_tpu
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_tool():
+    spec = importlib.util.spec_from_file_location(
+        'convert_weights', os.path.join(REPO, 'tools', 'convert_weights.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _fabricate_pth(model, name, tag, weights_dir, dataparallel=False):
+    """Save ``model``'s params as the hosted .pth for (name, tag) via the
+    inverse converter; returns the exporter's variables for the
+    bit-faithfulness check."""
+    sd = model.export_torch_state_dict()
+    if dataparallel:
+        sd = {'state_dict': {f'module.{k}': v for k, v in sd.items()}}
+    url = pretorched_tpu.pretrained_settings[name][tag]['url']
+    weights_dir.mkdir(parents=True, exist_ok=True)
+    torch.save(sd, weights_dir / url.rsplit('/', 1)[-1])
+    return model.variables
+
+
+def _fabricate_frame_folder(root, n_frames=16, n_videos=2, size=40):
+    rng = np.random.RandomState(0)
+    for c, cls in enumerate(('applauding', 'boxing')):
+        for v in range(n_videos):
+            d = root / cls / f'v{v}'
+            d.mkdir(parents=True)
+            for f in range(n_frames):
+                arr = rng.randint(0, 255, (size, size, 3), np.uint8)
+                Image.fromarray(arr).save(d / f'frame_{f:05d}.jpg')
+
+
+def _run_video_eval(argv, capsys):
+    old = sys.argv
+    sys.argv = ['examples/video_eval.py'] + argv
+    try:
+        runpy.run_path(os.path.join(REPO, 'examples', 'video_eval.py'),
+                       run_name='__main__')
+    finally:
+        sys.argv = old
+    return capsys.readouterr().out
+
+
+def _assert_variables_equal(got, want):
+    flat_got = jax.tree_util.tree_leaves_with_path(got)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(want))
+    assert len(flat_got) == len(flat_want)
+    for path, leaf in flat_got:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_want[path]), err_msg=str(path))
+
+
+def test_config3_moments_resnet3d50(tmp_path, monkeypatch, capsys):
+    """Moments resnet3d50: DataParallel-wrapped .pth -> convert ->
+    exact-variable roundtrip -> golden clip logits -> 16f single-clip eval."""
+    monkeypatch.setenv('PRETORCHED_HOME', str(tmp_path / 'zoo'))
+    settings = pretorched_tpu.pretrained_settings['resnet3d50']['moments']
+    monkeypatch.setitem(settings, 'input_size', [3, 32, 32])
+
+    exporter = pretorched_tpu.resnet3d50(num_classes=339, pretrained=None)
+    want = _fabricate_pth(exporter, 'resnet3d50', 'moments',
+                          tmp_path / 'zoo' / 'weights', dataparallel=True)
+
+    # 1. conversion + golden capture (the convert_weights command)
+    tool = _load_tool()
+    rc = tool.main(['--golden-dir', str(tmp_path / 'golden'),
+                    '--image', os.path.join(REPO, 'data', 'cat.jpg'),
+                    'resnet3d50'])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert 'resnet3d50/moments: converted (video' in out, out
+    assert (tmp_path / 'golden' / 'resnet3d50-moments.npy').exists()
+
+    # 2. bit-faithful roundtrip: converted tree == the exporter's variables
+    from pretorched_tpu.zoo import io
+    assert io.converted_path('resnet3d50', 'moments').exists()
+    converted = pretorched_tpu.resnet3d50(num_classes=339,
+                                          pretrained='moments')
+    _assert_variables_equal(converted.variables, want)
+
+    # 3. the BASELINE config-3 eval protocol: 16-frame single-clip
+    _fabricate_frame_folder(tmp_path / 'val', n_frames=16)
+    out = _run_video_eval(
+        [str(tmp_path / 'val'), '-a', 'resnet3d50', '--pretrained',
+         'moments', '--num-classes', '339', '--frames', '16', '--clips', '1',
+         '--batch-size', '2', '-j', '1'], capsys)
+    assert ' * Acc@1 ' in out, out
+
+
+def test_config4_nonlocal_10clip(tmp_path, monkeypatch, capsys):
+    """Kinetics non-local I3D-ResNet50: plain hosted .pth -> convert ->
+    exact roundtrip -> golden -> 10-clip consensus eval."""
+    monkeypatch.setenv('PRETORCHED_HOME', str(tmp_path / 'zoo'))
+    settings = pretorched_tpu.pretrained_settings['nonlocalresnet3d50'][
+        'kinetics-400']
+    monkeypatch.setitem(settings, 'input_size', [3, 32, 32])
+
+    exporter = pretorched_tpu.nonlocalresnet3d50(num_classes=400,
+                                                 pretrained=None)
+    want = _fabricate_pth(exporter, 'nonlocalresnet3d50', 'kinetics-400',
+                          tmp_path / 'zoo' / 'weights')
+
+    tool = _load_tool()
+    rc = tool.main(['--golden-dir', str(tmp_path / 'golden'),
+                    '--image', os.path.join(REPO, 'data', 'cat.jpg'),
+                    'nonlocalresnet3d50'])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert 'nonlocalresnet3d50/kinetics-400: converted (video' in out, out
+    assert (tmp_path / 'golden'
+            / 'nonlocalresnet3d50-kinetics-400.npy').exists()
+
+    converted = pretorched_tpu.nonlocalresnet3d50(num_classes=400,
+                                                  pretrained='kinetics-400')
+    _assert_variables_equal(converted.variables, want)
+
+    # BASELINE config-4 protocol: 10-clip consensus
+    _fabricate_frame_folder(tmp_path / 'val', n_frames=10)
+    out = _run_video_eval(
+        [str(tmp_path / 'val'), '-a', 'nonlocalresnet3d50', '--pretrained',
+         'kinetics-400', '--num-classes', '400', '--frames', '8',
+         '--clips', '10', '--batch-size', '2', '-j', '1'], capsys)
+    assert ' * Acc@1 ' in out, out
+
+
+def test_config4_trn_10clip(tmp_path, capsys):
+    """TRN multi-scale head, 10-clip consensus through the eval CLI. The
+    reference hosts no TRN weights (its moments URL is empty — reference
+    trn.py:13), so the rehearsal covers the eval protocol with a fresh
+    model; the backbone-graft path is covered by test_video_smoke."""
+    _fabricate_frame_folder(tmp_path / 'val', n_frames=10)
+    out = _run_video_eval(
+        [str(tmp_path / 'val'), '-a', 'trn', '--pretrained', 'none',
+         '--num-classes', '2', '--frames', '8', '--clips', '10',
+         '--size', '32', '--batch-size', '2', '-j', '1'], capsys)
+    assert ' * Acc@1 ' in out, out
