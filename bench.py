@@ -24,7 +24,8 @@ Rows, ordered so the most important land inside the time budget first:
   8. fused uint8 decode->preprocess->forward device pipeline
   9. nonlocal attention kernel fwd+bwd, N=8192 (blockwise backward)
  10. TRN multi-scale relation head (MSTRN, resnet50 backbone, 8 segments)
- 11. BigGAN-256 class-conditional sampling (BASELINE config 5)
+ 11. online serving loadtest (dynamic batching, req/s + p50/p99 latency)
+ 12. BigGAN-256 class-conditional sampling (BASELINE config 5)
 
 ``BENCH_TIME_BUDGET`` (seconds, default 1500) bounds the whole run: once the
 budget is spent, remaining rows are skipped with a note. The headline row
@@ -582,7 +583,63 @@ def main():
                        f'videos/sec/chip'),
             'value': round(tb / dt, 2), 'unit': 'videos/s', 'batch': tb})
 
-    # -------------- 11. BigGAN-256 conditional sampling (BASELINE config 5)
+    # ------------------- 11. online serving loadtest (InferenceServer)
+    def row_serving():
+        import threading
+        from pretorched_tpu.serving import serve_model
+        model = pretorched.resnet50(num_classes=1000, pretrained=None).eval()
+        model.bfloat16()
+        max_batch = int(os.environ.get('BENCH_SERVE_MAXBATCH', '32'))
+        n_req = int(os.environ.get('BENCH_SERVE_REQUESTS', '256'))
+        n_cli = int(os.environ.get('BENCH_SERVE_CLIENTS', '8'))
+        shape = (SIZE, SIZE, 3)
+        # context for the latency numbers: one tiny device->host round trip
+        # (a request can never resolve faster than this on the axon tunnel)
+        t0 = time.perf_counter()
+        jax.device_get(jnp.zeros((1,)) + 1)
+        rtt_ms = (time.perf_counter() - t0) * 1000
+        x = rng.rand(*shape).astype(np.float32)   # shared: timing is
+        lat = []                                  # data-independent
+        lock = threading.Lock()
+        with serve_model(model, max_batch=max_batch, max_wait_ms=2.0) as srv:
+            b = 1
+            while b <= max_batch:   # warm every bucket outside the clock
+                t0 = time.perf_counter()
+                srv(np.broadcast_to(x, (b,) + shape))
+                print(f'# serving bucket {b} warm: '
+                      f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
+                b *= 2
+
+            def client(n):
+                for _ in range(n):
+                    t0 = time.perf_counter()
+                    srv.submit(x).result()
+                    dt = time.perf_counter() - t0
+                    with lock:
+                        lat.append(dt)
+
+            per = [n_req // n_cli + (1 if i < n_req % n_cli else 0)
+                   for i in range(n_cli)]
+            t0 = time.perf_counter()
+            threads = [threading.Thread(target=client, args=(n,))
+                       for n in per]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+        lat_ms = np.sort(np.asarray(lat)) * 1000
+        rows.append({
+            'metric': (f'serving loadtest resnet50 {SIZE}px bf16 '
+                       f'({n_cli} clients, max_batch {max_batch}, '
+                       f'dynamic pow2 bucketing) req/sec'),
+            'value': round(n_req / wall, 2), 'unit': 'req/s',
+            'p50_ms': round(float(lat_ms[n_req // 2]), 1),
+            'p99_ms': round(float(lat_ms[int(n_req * 0.99)]), 1),
+            'tunnel_rtt_ms': round(rtt_ms, 1),
+            'buckets': sorted(srv.bucket_compiles)})
+
+    # -------------- 12. BigGAN-256 conditional sampling (BASELINE config 5)
     def row_biggan():
         from pretorched_tpu.gan.biggan import BigGAN
         module = BigGAN(resolution=256, ch=96, num_classes=1000,
@@ -619,6 +676,7 @@ def main():
         ('pipeline', row_pipeline),
         ('attn', row_attn),
         ('trn', row_trn),
+        ('serving', row_serving),
         ('biggan', row_biggan),
     ]
     for i, (name, fn) in enumerate(suite):

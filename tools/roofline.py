@@ -1,0 +1,256 @@
+#!/usr/bin/env python
+"""Per-stage roofline decomposition on the real chip (VERDICT r3 #1/#2).
+
+Decomposes the bench headline (resnet3d50 16f 224px bf16 s2d fwd), the SGD
+train step, and the SlowFast dual-pathway row into stage/pathway-level
+time + FLOPs + MFU tables, printed as markdown for docs/performance.md.
+
+Method: the net's four pipeline segments (``stage_slice`` in
+models/resnet3d.py — stem+layer1 / layer2 / layer3 / layer4+head) are timed
+as *cumulative prefixes* of the real graph — prefix(0,k) for k=1..4 — so the
+per-stage delta (t_k - t_{k-1}) charges each stage with exactly what it adds
+to the full compiled program, fusion boundaries included (isolated-stage
+timings do NOT compose on XLA, ROUND_NOTES r3). Each prefix also runs
+*isolated* on its own stage input, giving the stage's best-case in a
+program all its own — the gap between the two columns is the fusion/layout
+cost of composition.
+
+Timing follows bench.py's tunnel rules: the loop lives inside one jit via
+lax.scan with a carry that feeds the input and depends on the output, and
+completion is forced with jax.device_get of a scalar. Variables are jit
+arguments, never closures.
+
+Usage: python tools/roofline.py [--sections fwd,train,slowfast]
+                                [--batch 128] [--iters 10]
+"""
+
+import argparse
+import dataclasses
+import gc
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+V5E_BF16_PEAK_FLOPS = 197e12
+
+STAGE_NAMES = ('stem+layer1', 'layer2', 'layer3', 'layer4+head')
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--sections', default='fwd,train,slowfast')
+    p.add_argument('--batch', type=int, default=128)
+    p.add_argument('--train-batch', type=int, default=128)
+    p.add_argument('--sf-batch', type=int, default=128)
+    p.add_argument('--frames', type=int, default=16)
+    p.add_argument('--size', type=int, default=224)
+    p.add_argument('--iters', type=int, default=10)
+    args = p.parse_args()
+    sections = args.sections.split(',')
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import pretorched_tpu as pretorched
+    from pretorched_tpu.models.resnet3d import PIPELINE_STAGE_PREFIXES
+
+    t0 = time.perf_counter()
+    jax.device_get(jax.jit(lambda x: x + 1)(jnp.zeros((8, 128))))
+    print(f'# cold-path warmup: {time.perf_counter() - t0:.1f}s', flush=True)
+
+    rng = np.random.RandomState(0)
+
+    def rand_batch(shape, dtype=jnp.bfloat16):
+        one = jnp.asarray(rng.rand(1, *shape[1:]), dtype)
+        return jnp.broadcast_to(one, tuple(shape))
+
+    def timed_scan(apply_fn, variables, x, iters, tag):
+        """sec/iter; carry feeds the input and depends on the output (the
+        output is reduced to a scalar so mismatched shapes still chain)."""
+        @jax.jit
+        def many(v, xb):
+            def body(carry, _):
+                out = apply_fn(v, carry)
+                s = jnp.sum(out.astype(jnp.float32))
+                carry = carry + (s * 0).astype(carry.dtype)
+                return carry, s
+            _, outs = jax.lax.scan(body, xb, None, length=iters)
+            return jnp.sum(outs)
+
+        t0 = time.perf_counter()
+        jax.device_get(many(variables, x))
+        print(f'# {tag} compile+first: {time.perf_counter() - t0:.1f}s',
+              flush=True)
+        t0 = time.perf_counter()
+        jax.device_get(many(variables, x))
+        return (time.perf_counter() - t0) / iters
+
+    def cost_flops(fn, *a):
+        try:
+            ca = jax.jit(fn).lower(*a).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca.get('flops', 0.0))
+        except Exception as e:
+            print(f'# cost_analysis failed: {e}', flush=True)
+            return 0.0
+
+    def stage_params(variables, lo, hi):
+        """Variable subtree for prefix stages lo..hi-1 (top-level names)."""
+        want = [p for ps in PIPELINE_STAGE_PREFIXES[lo:hi] for p in ps]
+        return {coll: {k: v for k, v in tree.items()
+                       if k.split('.')[0] in want}
+                for coll, tree in variables.items()}
+
+    def table(title, names, times, flops, batch):
+        print(f'\n### {title} (b{batch}, deltas from cumulative prefixes)\n')
+        print('| stage | ms/iter | GFLOP | TFLOP/s | MFU |')
+        print('|---|---|---|---|---|')
+        tot_t = times[-1]
+        tot_f = flops[-1]
+        prev_t = prev_f = 0.0
+        for name, t, f in zip(names, times, flops):
+            dt, df = t - prev_t, f - prev_f
+            prev_t, prev_f = t, f
+            tf = df / dt / 1e12 if dt > 0 else 0
+            print(f'| {name} | {dt * 1e3:.1f} | {df / 1e9:.0f} | {tf:.1f} | '
+                  f'{df / dt / V5E_BF16_PEAK_FLOPS * 100:.1f}% |')
+        print(f'| **total** | **{tot_t * 1e3:.1f}** | **{tot_f / 1e9:.0f}** '
+              f'| **{tot_f / tot_t / 1e12:.1f}** | '
+              f'**{tot_f / tot_t / V5E_BF16_PEAK_FLOPS * 100:.1f}%** |')
+        sys.stdout.flush()
+
+    # ---------------------------------------------------------- forward
+    if 'fwd' in sections:
+        model = pretorched.resnet3d50(num_classes=400, pretrained=None)
+        model.bfloat16()
+        module = dataclasses.replace(model.module, s2d_stem=True)
+        variables = model.variables
+        clip = rand_batch((args.batch, args.frames, args.size, args.size, 3))
+
+        times, flops = [], []
+        for k in range(1, 5):
+            def fwd(v, c, k=k):
+                return module.apply(v, c, stage_slice=(0, k))
+            sub = stage_params(variables, 0, k)
+            times.append(timed_scan(fwd, sub, clip, args.iters,
+                                    f'fwd prefix(0,{k})'))
+            flops.append(cost_flops(fwd, sub, clip))
+        table('resnet3d50 forward per-stage roofline', STAGE_NAMES, times,
+              flops, args.batch)
+
+        # isolated per stage: each stage in a program of its own, on its
+        # real input activation (best case; does not compose — r3 rule)
+        print('\n### isolated stages (same batch; upper bound per stage)\n')
+        print('| stage | ms/iter | GFLOP | MFU | vs in-graph |')
+        print('|---|---|---|---|---|')
+        h = clip
+        prev_t = 0.0
+        for k in range(4):
+            def one(v, c, k=k):
+                return module.apply(v, c, stage_slice=(k, k + 1))
+            sub = stage_params(variables, k, k + 1)
+            t = timed_scan(one, sub, h, args.iters, f'fwd stage {k} isolated')
+            f = cost_flops(one, sub, h)
+            dt_graph = times[k] - prev_t
+            prev_t = times[k]
+            print(f'| {STAGE_NAMES[k]} | {t * 1e3:.1f} | {f / 1e9:.0f} | '
+                  f'{f / t / V5E_BF16_PEAK_FLOPS * 100:.1f}% | '
+                  f'{dt_graph / t:.2f}x |')
+            sys.stdout.flush()
+            if k < 3:
+                h = jax.jit(one)(sub, h)   # next stage's input
+        del model, variables, clip, h
+        gc.collect()
+
+    # ------------------------------------------------------------ train
+    if 'train' in sections:
+        model = pretorched.resnet3d50(num_classes=400, pretrained=None)
+        module = dataclasses.replace(model.module, dtype=jnp.bfloat16,
+                                     s2d_stem=True)
+        variables = model.variables
+        batch = args.train_batch
+        clip = rand_batch((batch, args.frames, args.size, args.size, 3),
+                          jnp.float32)
+
+        # all four prefixes must run at ONE batch for the deltas to mean
+        # anything — on OOM, restart the whole section at half batch
+        while True:
+            times, flops = [], []
+            try:
+                for k in range(1, 5):
+                    def gstep(params_bs, c, k=k):
+                        params, bs = params_bs
+                        def loss_fn(params):
+                            out, _ = module.apply(
+                                {'params': params, 'batch_stats': bs}, c,
+                                stage_slice=(0, k), train=True,
+                                mutable=['batch_stats'])
+                            return jnp.mean(out.astype(jnp.float32) ** 2)
+                        g = jax.grad(loss_fn)(params)
+                        # one scalar carrying dependence on every grad leaf
+                        return sum(jnp.sum(l.astype(jnp.float32))
+                                   for l in jax.tree_util.tree_leaves(g))
+                    sub = stage_params(variables, 0, k)
+                    pb = (sub['params'], sub['batch_stats'])
+                    times.append(timed_scan(gstep, pb, clip, args.iters,
+                                            f'train prefix(0,{k}) b{batch}'))
+                    flops.append(cost_flops(gstep, pb, clip))
+                break
+            except Exception as e:
+                if 'RESOURCE_EXHAUSTED' not in str(e) or batch <= 8:
+                    raise
+                batch //= 2
+                clip = rand_batch(
+                    (batch, args.frames, args.size, args.size, 3),
+                    jnp.float32)
+                print(f'# train section OOM -> restarting at b{batch}',
+                      flush=True)
+                gc.collect()
+        table('resnet3d50 fwd+bwd (grad) per-stage roofline', STAGE_NAMES,
+              times, flops, batch)
+        del model, variables, clip
+        gc.collect()
+
+    # --------------------------------------------------------- slowfast
+    if 'slowfast' in sections:
+        sf_frames = 64
+        print(f'\n### SlowFast-R50 {sf_frames}f{args.size}px pathway profile '
+              f'(b{args.sf_batch}, s2d stems)\n')
+        print('| variant | ms/iter | GFLOP | TFLOP/s | MFU |')
+        print('|---|---|---|---|---|')
+        results = {}
+        for mode in ('sf', 's', 'f'):
+            m = pretorched.slowfast_resnet50(mode=mode, num_classes=400,
+                                             pretrained=None)
+            m.bfloat16()
+            module = dataclasses.replace(m.module, s2d_stem=True)
+            clip = rand_batch((args.sf_batch, sf_frames, args.size,
+                               args.size, 3))
+
+            def fwd(v, c, module=module):
+                return module.apply(v, c)
+            t = timed_scan(fwd, m.variables, clip, args.iters,
+                           f'slowfast mode={mode}')
+            f = cost_flops(fwd, m.variables, clip)
+            results[mode] = (t, f)
+            print(f'| {mode} | {t * 1e3:.1f} | {f / 1e9 / args.sf_batch:.0f}'
+                  f'/clip | {f / t / 1e12:.1f} | '
+                  f'{f / t / V5E_BF16_PEAK_FLOPS * 100:.1f}% |')
+            sys.stdout.flush()
+            del m, clip
+            gc.collect()
+        (t_sf, f_sf), (t_s, f_s), (t_f, f_f) = (results['sf'], results['s'],
+                                                results['f'])
+        print(f'\nlaterals + concat-widened slow overhead: '
+              f'{(t_sf - t_s - t_f) * 1e3:.1f} ms/iter '
+              f'({(t_sf - t_s - t_f) / t_sf * 100:.0f}% of sf), '
+              f'{(f_sf - f_s - f_f) / 1e9:.0f} GFLOP')
+
+    print('\n# done', flush=True)
+
+
+if __name__ == '__main__':
+    main()
