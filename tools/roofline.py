@@ -34,6 +34,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 V5E_BF16_PEAK_FLOPS = 197e12
+V5E_HBM_GBPS = 819e9
 
 STAGE_NAMES = ('stem+layer1', 'layer2', 'layer3', 'layer4+head')
 
@@ -89,13 +90,15 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     def cost_flops(fn, *a):
+        """(flops, hbm_bytes) of one call per XLA cost analysis."""
         try:
             ca = jax.jit(fn).lower(*a).compile().cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            return float(ca.get('flops', 0.0))
+            return (float(ca.get('flops', 0.0)),
+                    float(ca.get('bytes accessed', 0.0)))
         except Exception as e:
             print(f'# cost_analysis failed: {e}', flush=True)
-            return 0.0
+            return 0.0, 0.0
 
     def stage_params(variables, lo, hi):
         """Variable subtree for prefix stages lo..hi-1 (top-level names)."""
@@ -104,22 +107,38 @@ def main():
                        if k.split('.')[0] in want}
                 for coll, tree in variables.items()}
 
-    def table(title, names, times, flops, batch):
+    def table(title, names, times, costs, batch):
+        """costs: list of (flops, bytes) cumulative pairs. The roofline
+        column reports achieved time vs max(compute-bound, HBM-bound) time
+        for each stage's delta — ~100% means the stage is AT its roofline
+        and low MFU there is an arithmetic-intensity fact, not a lost
+        optimization."""
         print(f'\n### {title} (b{batch}, deltas from cumulative prefixes)\n')
-        print('| stage | ms/iter | GFLOP | TFLOP/s | MFU |')
-        print('|---|---|---|---|---|')
-        tot_t = times[-1]
-        tot_f = flops[-1]
-        prev_t = prev_f = 0.0
-        for name, t, f in zip(names, times, flops):
-            dt, df = t - prev_t, f - prev_f
-            prev_t, prev_f = t, f
-            tf = df / dt / 1e12 if dt > 0 else 0
-            print(f'| {name} | {dt * 1e3:.1f} | {df / 1e9:.0f} | {tf:.1f} | '
-                  f'{df / dt / V5E_BF16_PEAK_FLOPS * 100:.1f}% |')
+        print('| stage | ms/iter | GFLOP | GB | MFU | HBM GB/s | bound | '
+              'roofline% |')
+        print('|---|---|---|---|---|---|---|---|')
+        tot_t, (tot_f, tot_b) = times[-1], costs[-1]
+        prev_t = prev_f = prev_b = 0.0
+        for name, t, (f, bts) in zip(names, times, costs):
+            dt, df, db = t - prev_t, f - prev_f, bts - prev_b
+            prev_t, prev_f, prev_b = t, f, bts
+            if dt <= 0:
+                continue
+            t_flop = df / V5E_BF16_PEAK_FLOPS
+            t_hbm = db / V5E_HBM_GBPS
+            bound = 'MXU' if t_flop > t_hbm else 'HBM'
+            roof = max(t_flop, t_hbm) / dt * 100
+            print(f'| {name} | {dt * 1e3:.1f} | {df / 1e9:.0f} | '
+                  f'{db / 1e9:.1f} | '
+                  f'{df / dt / V5E_BF16_PEAK_FLOPS * 100:.1f}% | '
+                  f'{db / dt / 1e9:.0f} | {bound} | {roof:.0f}% |')
+        t_flop, t_hbm = tot_f / V5E_BF16_PEAK_FLOPS, tot_b / V5E_HBM_GBPS
         print(f'| **total** | **{tot_t * 1e3:.1f}** | **{tot_f / 1e9:.0f}** '
-              f'| **{tot_f / tot_t / 1e12:.1f}** | '
-              f'**{tot_f / tot_t / V5E_BF16_PEAK_FLOPS * 100:.1f}%** |')
+              f'| **{tot_b / 1e9:.1f}** | '
+              f'**{tot_f / tot_t / V5E_BF16_PEAK_FLOPS * 100:.1f}%** | '
+              f'**{tot_b / tot_t / 1e9:.0f}** | '
+              f'**{"MXU" if t_flop > t_hbm else "HBM"}** | '
+              f'**{max(t_flop, t_hbm) / tot_t * 100:.0f}%** |')
         sys.stdout.flush()
 
     # ---------------------------------------------------------- forward
@@ -153,7 +172,7 @@ def main():
                 return module.apply(v, c, stage_slice=(k, k + 1))
             sub = stage_params(variables, k, k + 1)
             t = timed_scan(one, sub, h, args.iters, f'fwd stage {k} isolated')
-            f = cost_flops(one, sub, h)
+            f, _ = cost_flops(one, sub, h)
             dt_graph = times[k] - prev_t
             prev_t = times[k]
             print(f'| {STAGE_NAMES[k]} | {t * 1e3:.1f} | {f / 1e9:.0f} | '
@@ -234,11 +253,13 @@ def main():
                 return module.apply(v, c)
             t = timed_scan(fwd, m.variables, clip, args.iters,
                            f'slowfast mode={mode}')
-            f = cost_flops(fwd, m.variables, clip)
+            f, bts = cost_flops(fwd, m.variables, clip)
             results[mode] = (t, f)
+            roof = max(f / V5E_BF16_PEAK_FLOPS, bts / V5E_HBM_GBPS) / t * 100
             print(f'| {mode} | {t * 1e3:.1f} | {f / 1e9 / args.sf_batch:.0f}'
                   f'/clip | {f / t / 1e12:.1f} | '
-                  f'{f / t / V5E_BF16_PEAK_FLOPS * 100:.1f}% |')
+                  f'{f / t / V5E_BF16_PEAK_FLOPS * 100:.1f}% '
+                  f'(roofline {roof:.0f}%, {bts / t / 1e9:.0f} GB/s) |')
             sys.stdout.flush()
             del m, clip
             gc.collect()
