@@ -303,32 +303,46 @@ def test_pallas_attention_scale_regime_on_tpu():
     ramp = (jax.numpy.arange(n, dtype=jax.numpy.bfloat16) / n)[None, :, None]
     q, k, v = (one * (i + 1) + ramp for i in range(3))
 
-    # 1. the full-softmax XLA path cannot run at this N
-    with pytest.raises(Exception, match='RESOURCE_EXHAUSTED|[Oo]ut of memory'):
-        jax.block_until_ready(nonlocal_attention_reference(q, k, v))
-
-    # 2. the blockwise kernel runs in O(N) memory
+    # 1. the blockwise kernel runs in O(N) memory (the OOM assertion runs
+    #    LAST: a failed 17 GB allocation poisons later allocations in this
+    #    process — the failed buffers stay referenced via the exception)
     fwd = jax.jit(lambda q, k, v: nonlocal_attention(q, k, v))
     out = jax.device_get(fwd(q, k, v))
     assert out.shape == (1, n, c)
     assert np.isfinite(out.astype(np.float32)).all()
 
-    # 3. row-subset correctness: kernel rows 0..255 == full-softmax over a
+    # 2. row-subset correctness: kernel rows 0..255 == full-softmax over a
     #    rectangular (256, N) affinity (fits easily; same k/v context)
     ref = jax.device_get(nonlocal_attention_reference(q[:, :256], k, v))
     np.testing.assert_allclose(out[:, :256].astype(np.float32),
                                ref.astype(np.float32), rtol=5e-2, atol=5e-2)
 
-    # 4. throughput datapoint (fwd is ~1.1 PFLOP at this N/C)
-    iters = 3
+    # 3. throughput datapoint (fwd is ~1.1 PFLOP at this N/C). Timed inside
+    #    one jit via lax.scan (python-chained dispatch measures the link
+    #    RTT, not the kernel — 612 vs 31 ms/iter on the tunnel).
+    iters = 10
+    jnp = jax.numpy
+
+    @jax.jit
+    def many(q, k, v):
+        def body(carry, _):
+            out = nonlocal_attention(carry, k, v)
+            s = jnp.sum(out.astype(jnp.float32))
+            return carry + (s * 0).astype(carry.dtype), s
+        _, outs = jax.lax.scan(body, q, None, length=iters)
+        return jnp.sum(outs)
+
+    jax.device_get(many(q, k, v))            # compile + first
     t0 = time.perf_counter()
-    prev = q
-    for _ in range(iters):
-        prev = prev + 0 * fwd(prev, k, v)    # chain: forces completion
-    jax.device_get(prev[0, 0, 0])
+    jax.device_get(many(q, k, v))
     dt = (time.perf_counter() - t0) / iters
     flops = 4.0 * n * n * c                  # qk^T + pv
     print(f'\n# pallas blockwise N={n} C={c} bf16: {dt * 1000:.0f} ms/iter, '
           f'{flops / dt / 1e12:.1f} TFLOP/s '
           f'({flops / dt / 197e12 * 100:.0f}% of v5e bf16 peak); '
           f'full-softmax XLA: RESOURCE_EXHAUSTED (17 GB affinity)')
+
+    # 4. the full-softmax XLA path cannot run at this N (must come last —
+    #    see step 1's note)
+    with pytest.raises(Exception, match='RESOURCE_EXHAUSTED|[Oo]ut of memory'):
+        jax.block_until_ready(nonlocal_attention_reference(q, k, v))
