@@ -210,9 +210,11 @@ def main():
 
         dt, b = timed_scan(fwd, variables, clip, ITERS, 'resnet3d50')
         clips_s = b / dt
-        # roofline: XLA cost analysis of one forward
-        fwd1 = jax.jit(lambda v, c: module.apply(v, c))
-        flops_fwd = cost_flops(fwd1, variables, clip[:b])
+        # roofline: XLA cost analysis of one PLAIN forward (s2d folding adds
+        # zero-tap FLOPs to the stem — counting the folded graph would
+        # inflate gflops/mfu), at b1 scaled by b (convs are batch-linear)
+        fwd1 = jax.jit(lambda v, c: model.module.apply(v, c))
+        flops_fwd = cost_flops(fwd1, variables, clip[:1]) * b
         gf_per_clip = flops_fwd / b / 1e9
         mfu = flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS
         state['headline'] = {
@@ -333,8 +335,10 @@ def main():
         dt, b = timed_scan(fwds, sf.variables, clip, max(ITERS // 2, 5),
                            'slowfast50')
         clips_s = b / dt
-        fwd1 = jax.jit(lambda v, c: module.apply(v, c))
-        flops_fwd = cost_flops(fwd1, sf.variables, clip[:b])
+        # true-algorithm FLOPs: the fold-4 fast stem counts ~2.25x zero-tap
+        # FLOPs in the folded graph's cost analysis — use the plain module
+        fwd1 = jax.jit(lambda v, c: sf.module.apply(v, c))
+        flops_fwd = cost_flops(fwd1, sf.variables, clip[:1]) * b
         rows.append({
             'metric': (f'slowfast_resnet50 {sf_frames}f{SIZE}px bf16 '
                        f'clips/sec/chip (s2d stems)'),
@@ -361,8 +365,9 @@ def main():
         dt, b = timed_scan(fwdr, r21.variables, clip, max(ITERS // 2, 5),
                            'r2plus1d50')
         clips_s = b / dt
-        fwd1 = jax.jit(lambda v, c: module.apply(v, c))
-        flops_fwd = cost_flops(fwd1, r21.variables, clip[:b])
+        # plain module at b1 for true-algorithm FLOPs (no s2d zero taps)
+        fwd1 = jax.jit(lambda v, c: r21.module.apply(v, c))
+        flops_fwd = cost_flops(fwd1, r21.variables, clip[:1]) * b
         rows.append({
             'metric': (f'r2plus1d50 {FRAMES}f{r21_size}px bf16 '
                        f'clips/sec/chip (s2d stem)'),

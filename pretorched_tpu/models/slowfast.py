@@ -120,8 +120,22 @@ class SlowFast(nn.Module):
 
     def _fast(self, x, train, laterals: bool):
         p = 'fast'
-        x = self._cbr(x, 8, (5, 7, 7), f'{p}.conv1', stride=(1, 2, 2),
-                      padding=(2, 3, 3), train=train, s2d=self.s2d_stem)
+        if self.s2d_stem and x.shape[-3] % 4 == 0 and x.shape[-2] % 4 == 0:
+            # fold-4 stem: the 8-channel fast stem is MXU-lane-starved at
+            # fold-2 (8/128 output lanes); fold-4 packs the 2x2 output
+            # parities into channels (exact math, weights re-indexed).
+            # Measured v5e b128 T32 224px: stem+pool 39.3 -> 31.8 ms
+            # (tools/stem_probe.py; applying the pool in the folded layout
+            # measured SLOWER — 34.5 ms — so the conv depth-to-spaces back
+            # and BN/ReLU/pool run on the natural layout).
+            from .layers import SpaceToDepthConv
+            x = SpaceToDepthConv(8, (5, 7, 7), ndim=3, fold=4,
+                                 dtype=self.dtype, name=f'{p}.conv1')(x)
+            x = batch_norm(train=train, name=f'{p}.bn1', dtype=self.dtype)(x)
+            x = relu(x)
+        else:
+            x = self._cbr(x, 8, (5, 7, 7), f'{p}.conv1', stride=(1, 2, 2),
+                          padding=(2, 3, 3), train=train, s2d=self.s2d_stem)
         x = max_pool(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         lat = []
         if laterals:

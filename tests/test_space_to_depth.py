@@ -99,6 +99,58 @@ def test_s2d_conv_module_noncubic_kernel():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_fold4_exact():
+    """Fold-4 (input s2d 4x4, output in 2x2 parity layout) is the exact
+    stride-(1,2,2) conv — weights re-indexed, never changed."""
+    from pretorched_tpu.ops.space_to_depth import (depth_to_space_2,
+                                                   fold4_stem_kernel_3d,
+                                                   space_to_depth_4)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 3, 24, 24, 3), jnp.float32)
+    k = jnp.asarray(rng.randn(5, 7, 7, 3, 8) * 0.1, jnp.float32)
+    direct = _conv(x, k, (1, 2, 2), [(2, 2), (3, 3), (3, 3)],
+                   ('NDHWC', 'DHWIO', 'NDHWC'))
+    y = _conv(space_to_depth_4(x), fold4_stem_kernel_3d(k), (1, 1, 1),
+              [(2, 2), (0, 0), (0, 0)], ('NDHWC', 'DHWIO', 'NDHWC'))
+    b, t, hh, ww, _ = y.shape
+    got = depth_to_space_2(y.reshape(b, t, hh, ww, 2, 2, 8))
+    assert got.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fold4_folded_max_pool_exact():
+    """folded_max_pool_3s2 on the parity-folded map == maxpool(d2s(map))."""
+    from pretorched_tpu.ops.pooling import max_pool
+    from pretorched_tpu.ops.space_to_depth import (depth_to_space_2,
+                                                   folded_max_pool_3s2)
+    rng = np.random.RandomState(1)
+    z = jnp.asarray(rng.randn(2, 3, 6, 6, 2, 2, 8), jnp.float32)
+    ref = max_pool(depth_to_space_2(z), (1, 3, 3), (1, 2, 2), (0, 1, 1))
+    got = folded_max_pool_3s2(z)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+def test_s2d_conv_module_fold4():
+    """SpaceToDepthConv(fold=4) == the plain conv; on H % 4 != 0 input it
+    falls back to fold-2 (same params, same outputs)."""
+    from pretorched_tpu.models.layers import SpaceToDepthConv
+    rng = np.random.RandomState(2)
+    mod = SpaceToDepthConv(8, (5, 7, 7), ndim=3, fold=4)
+    x = jnp.asarray(rng.randn(1, 6, 32, 32, 3), jnp.float32)
+    variables = mod.init(jax.random.key(0), x)
+    k = variables['params']['kernel']
+    for size in (32, 30):                      # 30 % 4 != 0 -> fold-2 path
+        xs = jnp.asarray(rng.randn(1, 6, size, size, 3), jnp.float32)
+        got = mod.apply(variables, xs)
+        direct = _conv(xs, k, (1, 2, 2), [(2, 2), (3, 3), (3, 3)],
+                       ('NDHWC', 'DHWIO', 'NDHWC'))
+        assert got.shape == direct.shape, size
+        np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_r2plus1d_s2d_stem_exact():
     """R(2+1)D with s2d_stem=True is the same function of the same
     variables: only the factored stem's SPATIAL conv folds (the (kt,1,1)
