@@ -120,6 +120,71 @@ def fold4_stem_kernel_3d(kernel):
     return w.reshape(kt_, ch_, cw_, rh_ * rw_ * c_, ph_ * pw_ * o_)
 
 
+# ---------------------------------------------------------------------------
+# Mixed fold 2x4: H folded 2 (output natural), W folded 4 (output parity-
+# packed). The headline resnet3d50 stem has O=64 output channels — half the
+# MXU's 128 lanes at fold-2; full fold-4 doubles lanes 4x but pays 2.25x
+# zero-tap FLOPs (measured loss on 64-ch stems, tools/stem_probe). Mixed
+# fold packs parities along W only: exactly 2*64 = 128 output lanes for
+# 1.5x fold-2 FLOPs (48 HWCO vs 32 HWCO vs plain 24.5). Exact math, same
+# derivations as fold-2 (H dim) and fold-4 (W dim) above.
+#
+# MEASURED NEGATIVE (tools/stem64_probe.py, v5e, b128 T16 224px bf16 O=64):
+# fold2 stem+bn+relu+pool 48.7 ms vs fold24 53.7 vs plain 49.8 vs fold4
+# 80.2. The 64-ch stem is HBM-bound (roofline: stem+layer1 47% of HBM
+# roofline), so the extra zero-tap FLOPs cost more than the doubled output
+# lanes gain. Third negative fold result — fold stays 2 for 64-ch stems and
+# 4 only for SlowFast's 8-ch fast stem. Kept: exact, tested, and the probe
+# documents the lane-vs-bytes tradeoff for future narrow-stem archs.
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth_2x4(x):
+    """(..., H, W, C) -> (..., (H+6)/2, (W+8)/4, 8C).
+
+    H cells of 2 (pads 4, 2: u[q, r] = x[2q + r - 4]), W cells of 4
+    (pads 4, 4: u[q, r] = x[4q + r - 4]); channel order (r_h, r_w, c).
+    Requires H % 2 == 0 and W % 4 == 0."""
+    h, w = x.shape[-3], x.shape[-2]
+    assert h % 2 == 0 and w % 4 == 0, (h, w)
+    pad = [(0, 0)] * (x.ndim - 3) + [(4, 2), (4, 4), (0, 0)]
+    x = jnp.pad(x, pad)
+    *lead, hh, ww, c = x.shape
+    x = x.reshape(*lead, hh // 2, 2, ww // 4, 4, c)
+    x = jnp.moveaxis(x, -4, -3)
+    return x.reshape(*lead, hh // 2, ww // 4, 8 * c)
+
+
+def _fold2_kernel_1d(wp, cells=4):
+    """(k+1 padded taps, ...) -> (cells, 2, ...) per-dim fold-2 kernel.
+
+    wp is W' (left-padded by one zero tap). K[c, r] = wp[2c + r]."""
+    return wp[:2 * cells].reshape((cells, 2) + wp.shape[1:])
+
+
+def fold2x4_stem_kernel_3d(kernel):
+    """(kt, 7, 7, C, O) stride-(1,2,2) kernel -> (kt, 4, 3, 8C, 2O)
+    stride-1 mixed-fold kernel. Input channel order (r_h, r_w, c) matching
+    ``space_to_depth_2x4``; output channel order (p_w, o)."""
+    kt, kh, kw, c, o = kernel.shape
+    assert kh == kw == 7, (kh, kw)
+    w = jnp.pad(kernel, [(0, 0), (1, 0), (1, 0), (0, 0), (0, 0)])
+    w = jnp.moveaxis(w, 1, 0)                  # (8h, kt, 8w, c, o)
+    w = _fold2_kernel_1d(w)                    # (4ch, 2rh, kt, 8w, c, o)
+    w = jnp.moveaxis(w, 3, 0)                  # (8w, 4ch, 2rh, kt, c, o)
+    w = _fold4_kernel_1d(w)                    # (3cw, 4rw, 2pw, 4ch, 2rh, kt, c, o)
+    # -> (kt, ch, cw, (rh, rw, c), (pw, o))
+    w = jnp.transpose(w, (5, 3, 0, 4, 1, 6, 2, 7))
+    kt_, ch_, cw_, rh_, rw_, c_, pw_, o_ = w.shape
+    return w.reshape(kt_, ch_, cw_, rh_ * rw_ * c_, pw_ * o_)
+
+
+def depth_to_space_w2(y):
+    """(b, t, H, Wc, 2pw, O) W-parity-folded map -> (b, t, H, 2Wc, O)."""
+    bb, tt, hh, ww, _, o = y.shape
+    return y.reshape(bb, tt, hh, ww * 2, o)
+
+
 def depth_to_space_2(y):
     """(b, t, Hc, Wc, 2ph, 2pw, O) parity-folded map -> (b, t, 2Hc, 2Wc, O)."""
     bb, tt, hh, ww, _, _, o = y.shape

@@ -132,6 +132,26 @@ def test_fold4_folded_max_pool_exact():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
 
 
+def test_fold2x4_exact():
+    """Mixed fold (H fold-2, W fold-4 parity-packed) is the exact
+    stride-(1,2,2) conv — 2x output lanes over fold-2 for 1.5x FLOPs."""
+    from pretorched_tpu.ops.space_to_depth import (depth_to_space_w2,
+                                                   fold2x4_stem_kernel_3d,
+                                                   space_to_depth_2x4)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 3, 22, 24, 3), jnp.float32)  # H%2, W%4
+    k = jnp.asarray(rng.randn(7, 7, 7, 3, 8) * 0.1, jnp.float32)
+    direct = _conv(x, k, (1, 2, 2), [(3, 3), (3, 3), (3, 3)],
+                   ('NDHWC', 'DHWIO', 'NDHWC'))
+    y = _conv(space_to_depth_2x4(x), fold2x4_stem_kernel_3d(k), (1, 1, 1),
+              [(3, 3), (0, 0), (0, 0)], ('NDHWC', 'DHWIO', 'NDHWC'))
+    b, t, hh, ww, _ = y.shape
+    got = depth_to_space_w2(y.reshape(b, t, hh, ww, 2, 8))
+    assert got.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_s2d_conv_module_fold4():
     """SpaceToDepthConv(fold=4) == the plain conv; on H % 4 != 0 input it
     falls back to fold-2 (same params, same outputs)."""
