@@ -233,8 +233,10 @@ def main():
 
         from pretorched_tpu.parallel import make_train_step
         model = pretorched.resnet3d50(num_classes=400, pretrained=None)
+        # s2d is a fwd win; its bwd was probed separately (BENCH_TRAIN_S2D=0)
+        s2d = bool(int(os.environ.get('BENCH_TRAIN_S2D', '1')))
         module = dataclasses.replace(model.module, dtype=jnp.bfloat16,
-                                     s2d_stem=True)
+                                     s2d_stem=s2d)
         variables = model.variables
         tx = optax.sgd(0.1, momentum=0.9)
         accum = int(os.environ.get('BENCH_TRAIN_ACCUM', '1'))
@@ -284,9 +286,20 @@ def main():
                 p = bs = os_ = clip = labels = m = None
                 gc.collect()
         assert np.isfinite(loss), loss
-        # cost analysis once, at the batch that actually fit (the jit cache
-        # shares the executable, so this lowers without a second compile)
-        flops_step = cost_flops(step, p, bs, os_, clip, labels, 0)
+        if s2d:
+            # FLOP honesty (matches the video inference rows): the folded
+            # stem adds zero-tap FLOPs, so cost-analyze a PLAIN-stem step.
+            # Must be at the REAL batch: XLA's counted flops are not
+            # batch-linear for the bwd (b8-scaled read 184.9 GF/clip vs the
+            # actual b128 plain compile's 235.8). Lower+compile only — no
+            # execution, no HBM allocation.
+            plain_step = make_train_step(
+                dataclasses.replace(module, s2d_stem=False), tx,
+                accum_steps=accum, remat=remat)
+            flops_step = cost_flops(plain_step, p, bs, os_, clip, labels, 0)
+        else:
+            # the jit cache shares the executable: lowers without recompile
+            flops_step = cost_flops(step, p, bs, os_, clip, labels, 0)
         # XLA cost analysis counts a while/scan body ONCE, so the accumulated
         # step's microbatch fwd+bwd is undercounted by ~accum_steps x (the
         # un-scanned optimizer update is negligible next to it); scale back.
