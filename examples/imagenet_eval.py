@@ -59,6 +59,11 @@ def parse_args():
                    help='gradient accumulation: split each batch into N '
                         'sequential microbatches inside the jitted step '
                         '(activation HBM bounded by the microbatch)')
+    p.add_argument('--zero', nargs='?', const='1', default=None,
+                   choices=['1', 'fsdp'],
+                   help='ZeRO-shard the optimizer state over the data axis '
+                        '(--zero fsdp also shards the params); per-device '
+                        'optimizer HBM drops to 1/n_devices')
     p.add_argument('--compile-cache', nargs='?', const='1', default=None,
                    metavar='DIR',
                    help='persistent XLA compilation cache (optional DIR; '
@@ -239,10 +244,19 @@ def main():
                         decay_epochs=30, steps_per_epoch=steps_per_epoch)
     train_step = make_train_step(model.module, tx, mesh=mesh,
                                  remat=args.remat,
-                                 accum_steps=args.accum_steps)
+                                 accum_steps=args.accum_steps,
+                                 zero_axis='data' if args.zero else None,
+                                 zero_params=args.zero == 'fsdp')
     params = model.variables['params']
     batch_stats = model.variables.get('batch_stats')
-    opt_state = tx.init(params)
+    if args.zero:
+        # ZeRO: optimizer state (and with fsdp, params) sharded over 'data'
+        # — per-device optimizer HBM 1/n (parallel/zero.py)
+        from pretorched_tpu.parallel import zero_init
+        params, opt_state = zero_init(tx, params, mesh,
+                                      shard_params=args.zero == 'fsdp')
+    else:
+        opt_state = tx.init(params)
     # train_step donates its params/batch_stats/opt_state inputs (see
     # make_train_step); drop model's reference to those same arrays now so
     # nothing aliases deleted buffers during the first epoch — validate()

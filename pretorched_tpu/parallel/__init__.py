@@ -6,3 +6,5 @@ from .train import make_train_step  # noqa: F401
 from .pipeline import (pipeline_apply, stack_block_params,  # noqa: F401
                        stage_sharding, sequential_apply)
 from .moe import moe_apply, expert_sharding  # noqa: F401
+from .zero import (zero_init, tree_axis_shardings,  # noqa: F401
+                   sharded_size_bytes)

@@ -26,7 +26,9 @@ def cross_entropy(logits, labels):
 def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
                     has_batch_stats: bool = True,
                     dropout_seed: int = 0, remat: bool = False,
-                    donate: bool = True, accum_steps: int = 1) -> Callable:
+                    donate: bool = True, accum_steps: int = 1,
+                    zero_axis: str = None,
+                    zero_params: bool = False) -> Callable:
     """Returns step(params, batch_stats, opt_state, x, labels, step_idx) ->
     (params, batch_stats, opt_state, metrics).
 
@@ -48,6 +50,13 @@ def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
     feeding smaller batches); metrics are averaged over microbatches. The
     batch-hungry configs (SlowFast b>128, resnet3d50 b>128 at 16f 224px)
     use this to push effective batch past the HBM activation ceiling.
+
+    ``zero_axis='data'`` (requires ``mesh``) keeps the optimizer state — and
+    with ``zero_params=True`` the params — ZeRO-sharded over that mesh axis
+    across steps (see ``parallel.zero``): the updated trees are pinned to the
+    same deterministic shardings ``zero_init`` placed them with, so per-device
+    optimizer (and param) HBM stays at 1/n instead of silently re-replicating
+    on the first step.
 
     ``remat=True`` rematerializes per residual block when the module supports
     it (a ``remat`` field, e.g. VideoResNet): backprop stores only block
@@ -110,10 +119,16 @@ def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
             loss, top1 = jnp.mean(losses), jnp.mean(top1s)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if zero_axis is not None:
+            from .zero import constrain_tree
+            opt_state = constrain_tree(opt_state, mesh, zero_axis)
+            if zero_params:
+                params = constrain_tree(params, mesh, zero_axis)
         return params, new_stats, opt_state, {'loss': loss, 'top1': top1}
 
     donate_argnums = (0, 1, 2) if donate else ()
     if mesh is None:
+        assert zero_axis is None, 'zero_axis requires a mesh'
         return jax.jit(step, donate_argnums=donate_argnums)
     bsh = batch_sharding(mesh)
     return jax.jit(step, in_shardings=(None, None, None, bsh, bsh, None),
