@@ -610,6 +610,7 @@ def main():
         max_batch = int(os.environ.get('BENCH_SERVE_MAXBATCH', '32'))
         n_req = int(os.environ.get('BENCH_SERVE_REQUESTS', '256'))
         n_cli = int(os.environ.get('BENCH_SERVE_CLIENTS', '8'))
+        n_res = int(os.environ.get('BENCH_SERVE_RESOLVERS', '4'))
         shape = (SIZE, SIZE, 3)
         # context for the latency numbers: one tiny device->host round trip
         # (a request can never resolve faster than this on the axon tunnel)
@@ -619,7 +620,8 @@ def main():
         x = rng.rand(*shape).astype(np.float32)   # shared: timing is
         lat = []                                  # data-independent
         lock = threading.Lock()
-        with serve_model(model, max_batch=max_batch, max_wait_ms=2.0) as srv:
+        with serve_model(model, max_batch=max_batch, max_wait_ms=2.0,
+                         resolver_threads=n_res) as srv:
             b = 1
             while b <= max_batch:   # warm every bucket outside the clock
                 t0 = time.perf_counter()
@@ -650,7 +652,7 @@ def main():
         rows.append({
             'metric': (f'serving loadtest resnet50 {SIZE}px bf16 '
                        f'({n_cli} clients, max_batch {max_batch}, '
-                       f'dynamic pow2 bucketing) req/sec'),
+                       f'{n_res} resolvers, dynamic pow2 bucketing) req/sec'),
             'value': round(n_req / wall, 2), 'unit': 'req/s',
             'p50_ms': round(float(lat_ms[n_req // 2]), 1),
             'p99_ms': round(float(lat_ms[int(n_req * 0.99)]), 1),

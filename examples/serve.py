@@ -35,6 +35,9 @@ def main():
                    help='clip length for video archs')
     p.add_argument('--max-batch', type=int, default=64)
     p.add_argument('--max-wait-ms', type=float, default=2.0)
+    p.add_argument('--resolver-threads', type=int, default=4,
+                   help='concurrent device->host readbacks; >1 overlaps '
+                        'readback latency on high-RTT links (serving.py)')
     p.add_argument('--bf16', action='store_true',
                    help='bf16 compute (f32 params)')
     p.add_argument('--cpu', action='store_true', help='force CPU backend')
@@ -61,7 +64,8 @@ def main():
     lock = threading.Lock()
 
     with serve_model(model, max_batch=args.max_batch,
-                     max_wait_ms=args.max_wait_ms) as srv:
+                     max_wait_ms=args.max_wait_ms,
+                     resolver_threads=args.resolver_threads) as srv:
         # warm every bucket the traffic can hit (compile outside the clock)
         b = 1
         while b <= args.max_batch:

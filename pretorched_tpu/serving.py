@@ -22,15 +22,21 @@ per-request forward both recompiles and wastes the MXU at batch 1.
   dispatch is async — the batcher thread enqueues the next bucket while
   the device still computes the previous one, overlapping host batching
   with TPU compute.
-* Results travel back on a dedicated **resolver thread**: the batcher only
-  dispatches (never blocks on the device), the resolver does the
+* Results travel back on a dedicated **resolver pool**: the batcher only
+  dispatches (never blocks on the device), the resolvers do the
   ``device_get`` + future fan-out. Measured on the r3 loadtest (axon
   tunnel, p50 332ms / p99 1108ms): with batching and resolution on ONE
   thread, a request arriving while a bucket's device->host readback is in
   flight waits for that readback before it can even be *batched* — on a
   high-RTT link the tail stacks up to ~3x the median. Decoupling removes
   the head-of-line blocking; the p99/p50 ratio is regression-tracked by
-  bench.py's serving row.
+  bench.py's serving row. The pool (``resolver_threads``, default 4)
+  overlaps the readbacks themselves: concurrent ``device_get`` calls
+  multiplex on the link (measured: 4 concurrent gets complete in ~1 RTT vs
+  4 RTT sequential), so when readback latency — not device compute — is
+  the bottleneck, throughput scales with the pool until the link
+  saturates. Each bucket's futures resolve independently, so out-of-order
+  completion across buckets is harmless.
 
 Single-process, single-module executor by design: shard the model over a
 mesh *inside* ``apply_fn`` (e.g. with the ``parallel`` layer's shardings)
@@ -86,13 +92,17 @@ class InferenceServer:
         with ``TimeoutError`` when the batcher reaches it, instead of
         consuming device time its caller has likely stopped waiting for
         (``None`` = never expire). In-flight batches are not cancelled.
+      resolver_threads: readback concurrency — how many dispatched buckets
+        can be in device->host transfer at once (see the module docstring).
+        1 restores strictly serialized readbacks.
     """
 
     def __init__(self, apply_fn: Callable, variables, *, max_batch: int = 64,
                  max_wait_ms: float = 2.0, example_ndim: Optional[int] = None,
                  example_shape: Optional[tuple] = None, example_dtype=None,
                  max_queue: Optional[int] = None,
-                 request_timeout_ms: Optional[float] = None):
+                 request_timeout_ms: Optional[float] = None,
+                 resolver_threads: int = 4):
         self._fn = jax.jit(apply_fn)
         self._variables = variables
         self.max_batch = int(max_batch)
@@ -121,11 +131,13 @@ class InferenceServer:
         self._resolve_q: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name='pretorched-serving-batcher')
-        self._resolver = threading.Thread(
-            target=self._resolve_loop, daemon=True,
-            name='pretorched-serving-resolver')
+        self._resolvers = [
+            threading.Thread(target=self._resolve_loop, daemon=True,
+                             name=f'pretorched-serving-resolver-{i}')
+            for i in range(max(int(resolver_threads), 1))]
         self._thread.start()
-        self._resolver.start()
+        for r in self._resolvers:
+            r.start()
 
     # ------------------------------------------------------------- client
     def submit(self, x) -> Future:
@@ -189,7 +201,7 @@ class InferenceServer:
         if first:
             self._q.put(None)                  # wake the batcher
         deadline = time.monotonic() + timeout
-        for t in (self._thread, self._resolver):
+        for t in (self._thread, *self._resolvers):
             if t.is_alive():
                 # join on EVERY call (not just the first): the documented
                 # recovery for a drain timeout is calling close() again with
@@ -197,7 +209,8 @@ class InferenceServer:
                 t.join(max(deadline - time.monotonic(), 0.001))
         if self._exc is not None:
             raise RuntimeError('server batcher died') from self._exc
-        if self._thread.is_alive() or self._resolver.is_alive():
+        if self._thread.is_alive() or any(r.is_alive()
+                                          for r in self._resolvers):
             raise RuntimeError(
                 f'batcher did not drain within {timeout}s (a cold-bucket '
                 f'compile can take that long on a slow backend); call '
@@ -290,11 +303,13 @@ class InferenceServer:
         except BaseException as e:              # propagate to clients
             self._die(e, list(items or []))
         finally:
-            self._resolve_q.put(None)           # resolver drains, then stops
+            for _ in self._resolvers:           # each resolver drains what
+                self._resolve_q.put(None)       # it holds, then stops
 
     def _resolve_loop(self):
-        """Resolver: device_get each dispatched bucket (in dispatch order)
-        and fan results out to the requests' futures."""
+        """Resolver: device_get a dispatched bucket and fan results out to
+        the requests' futures. The pool runs several of these; buckets
+        resolve independently (possibly out of dispatch order)."""
         entry = None
         try:
             while True:
@@ -353,7 +368,8 @@ class InferenceServer:
 def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
                 max_wait_ms: float = 2.0, example_shape: Optional[tuple] = None,
                 example_dtype=None, max_queue: Optional[int] = None,
-                request_timeout_ms: Optional[float] = None) -> InferenceServer:
+                request_timeout_ms: Optional[float] = None,
+                resolver_threads: int = 4) -> InferenceServer:
     """InferenceServer over a zoo ``PretrainedModel`` (channels-last input).
 
     ``mode`` follows the module contract ('forward' | 'features' |
@@ -376,4 +392,5 @@ def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
                            example_shape=example_shape,
                            example_dtype=example_dtype,
                            max_queue=max_queue,
-                           request_timeout_ms=request_timeout_ms)
+                           request_timeout_ms=request_timeout_ms,
+                           resolver_threads=resolver_threads)

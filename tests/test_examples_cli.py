@@ -26,6 +26,14 @@ def test_imagenet_logits_cli():
     assert "is a '" in r.stdout, r.stdout
 
 
+def test_serve_cli():
+    r = _run(['examples/serve.py', '-a', 'resnet18', '--cpu',
+              '--requests', '16', '--clients', '4', '--size', '64',
+              '--max-batch', '8', '--resolver-threads', '4'])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert 'req/s' in r.stdout and 'buckets compiled' in r.stdout, r.stdout
+
+
 def test_visu_arch_cli(tmp_path):
     r = _run(['examples/visu_arch.py', '-a', 'resnet18', '--image',
               'data/cat.jpg', '--outdir', str(tmp_path), '--cpu'])

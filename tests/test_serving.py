@@ -69,6 +69,52 @@ def test_serving_concurrent_submitters(rng):
         np.testing.assert_allclose(results[i], ref, rtol=1e-5, atol=1e-5)
 
 
+def test_serving_resolver_pool_correctness(rng):
+    """With a resolver pool (readbacks may complete out of dispatch order),
+    every future still resolves to exactly its own request's output."""
+    variables = _vars(rng)
+    srv = InferenceServer(_linear_apply, variables, max_batch=4,
+                          max_wait_ms=0.0, example_ndim=2,
+                          resolver_threads=4)
+    # max_wait 0 + small buckets => many in-flight buckets racing resolvers
+    xs = [np.full((3, 4), float(i), np.float32) for i in range(64)]
+    futs = [srv.submit(x) for x in xs]
+    for i, f in enumerate(futs):
+        ref = np.asarray(_linear_apply(variables, jnp.asarray(xs[i][None])))[0]
+        np.testing.assert_allclose(f.result(timeout=60), ref,
+                                   rtol=1e-5, atol=1e-5)
+    srv.close()
+
+
+def test_serving_resolver_pool_error_propagates(rng):
+    """A pool resolver hitting an execution error still fails every
+    outstanding future and close() reports the death."""
+    variables = _vars(rng)
+
+    def bad_apply(variables, x):
+        return x.reshape(x.shape[0], -1) @ variables['w'][:2]  # shape error
+
+    srv = InferenceServer(bad_apply, variables, max_batch=4,
+                          max_wait_ms=0.0, example_ndim=2,
+                          resolver_threads=3)
+    futs = [srv.submit(np.ones((3, 4), np.float32)) for _ in range(8)]
+    for f in futs:
+        with pytest.raises(Exception):
+            f.result(timeout=60)
+    with pytest.raises(RuntimeError):
+        srv.close()
+
+
+def test_serving_single_resolver_still_works(rng):
+    variables = _vars(rng)
+    with InferenceServer(_linear_apply, variables, max_batch=8,
+                         max_wait_ms=2.0, example_ndim=2,
+                         resolver_threads=1) as srv:
+        x = rng.randn(3, 4).astype(np.float32)
+        ref = np.asarray(_linear_apply(variables, jnp.asarray(x[None])))[0]
+        np.testing.assert_allclose(srv(x), ref, rtol=1e-5, atol=1e-5)
+
+
 def test_serving_error_propagates(rng):
     variables = _vars(rng)
 
