@@ -610,13 +610,26 @@ def main():
         max_batch = int(os.environ.get('BENCH_SERVE_MAXBATCH', '32'))
         n_req = int(os.environ.get('BENCH_SERVE_REQUESTS', '256'))
         n_cli = int(os.environ.get('BENCH_SERVE_CLIENTS', '8'))
-        n_res = int(os.environ.get('BENCH_SERVE_RESOLVERS', '4'))
+        n_res = int(os.environ.get('BENCH_SERVE_RESOLVERS', '1'))
         shape = (SIZE, SIZE, 3)
         # context for the latency numbers: one tiny device->host round trip
         # (a request can never resolve faster than this on the axon tunnel)
         t0 = time.perf_counter()
         jax.device_get(jnp.zeros((1,)) + 1)
         rtt_ms = (time.perf_counter() - t0) * 1000
+        # ... and the host->device upload bandwidth: every request ships
+        # SIZE*SIZE*3 f32 bytes up the tunnel, so req/s can never beat
+        # link_MBps / req_MB no matter what the server does. Measured r4:
+        # the tunnel runs ~13 MB/s some sessions and ~67 MB/s others —
+        # report the floor so cross-round diffs can tell link drift from
+        # server regressions. (Real PCIe hosts: both are noise.)
+        up = np.random.rand(1024 * 1024).astype(np.float32)      # 4MB
+        jax.device_get(jax.device_put(up)[:1])                   # warm path
+        t0 = time.perf_counter()
+        jax.device_get(jax.device_put(up)[:1])
+        link_mbps = 4.0 / (time.perf_counter() - t0)
+        req_mb = (SIZE * SIZE * 3 * 4) / 1e6
+        link_floor = link_mbps / req_mb
         x = rng.rand(*shape).astype(np.float32)   # shared: timing is
         lat = []                                  # data-independent
         lock = threading.Lock()
@@ -657,6 +670,8 @@ def main():
             'p50_ms': round(float(lat_ms[n_req // 2]), 1),
             'p99_ms': round(float(lat_ms[int(n_req * 0.99)]), 1),
             'tunnel_rtt_ms': round(rtt_ms, 1),
+            'link_up_MBps': round(link_mbps, 1),
+            'link_floor_req_s': round(link_floor, 1),
             'buckets': sorted(srv.bucket_compiles)})
 
     # -------------- 12. BigGAN-256 conditional sampling (BASELINE config 5)

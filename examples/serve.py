@@ -35,9 +35,10 @@ def main():
                    help='clip length for video archs')
     p.add_argument('--max-batch', type=int, default=64)
     p.add_argument('--max-wait-ms', type=float, default=2.0)
-    p.add_argument('--resolver-threads', type=int, default=4,
-                   help='concurrent device->host readbacks; >1 overlaps '
-                        'readback latency on high-RTT links (serving.py)')
+    p.add_argument('--resolver-threads', type=int, default=1,
+                   help='concurrent device->host readbacks; raise only for '
+                        'large outputs on a slow link (serving.py docstring '
+                        'has the measured trade-off)')
     p.add_argument('--bf16', action='store_true',
                    help='bf16 compute (f32 params)')
     p.add_argument('--cpu', action='store_true', help='force CPU backend')

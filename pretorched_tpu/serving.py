@@ -30,13 +30,18 @@ per-request forward both recompiles and wastes the MXU at batch 1.
   flight waits for that readback before it can even be *batched* — on a
   high-RTT link the tail stacks up to ~3x the median. Decoupling removes
   the head-of-line blocking; the p99/p50 ratio is regression-tracked by
-  bench.py's serving row. The pool (``resolver_threads``, default 4)
-  overlaps the readbacks themselves: concurrent ``device_get`` calls
-  multiplex on the link (measured: 4 concurrent gets complete in ~1 RTT vs
-  4 RTT sequential), so when readback latency — not device compute — is
-  the bottleneck, throughput scales with the pool until the link
-  saturates. Each bucket's futures resolve independently, so out-of-order
-  completion across buckets is harmless.
+  bench.py's serving row. A pool (``resolver_threads``, default 1)
+  additionally overlaps the readbacks themselves; each bucket's futures
+  resolve independently, so out-of-order completion across buckets is
+  harmless. Raise it only when per-bucket readback time (output bytes /
+  link bandwidth + RTT) exceeds the inter-bucket interval — i.e. large
+  outputs on a slow host<->device link. Measured on the axon tunnel (r4
+  A/B, 256 req x 8 clients, 224px resnet50): with classifier-sized
+  outputs the loadtest is *input-upload*-bound (602KB/request vs a
+  ~13MB/s tunnel; wall == the link floor) and extra resolvers only steal
+  tunnel bandwidth from uploads — 1 resolver 24.2 req/s vs 4 resolvers
+  19.4. On a real PCIe host both transfers are microseconds and the
+  setting is moot.
 
 Single-process, single-module executor by design: shard the model over a
 mesh *inside* ``apply_fn`` (e.g. with the ``parallel`` layer's shardings)
@@ -93,8 +98,10 @@ class InferenceServer:
         consuming device time its caller has likely stopped waiting for
         (``None`` = never expire). In-flight batches are not cancelled.
       resolver_threads: readback concurrency — how many dispatched buckets
-        can be in device->host transfer at once (see the module docstring).
-        1 restores strictly serialized readbacks.
+        can be in device->host transfer at once. Default 1 (serialized
+        readbacks); raise only when outputs are large relative to the
+        host<->device link (see the module docstring for the measured
+        trade-off).
     """
 
     def __init__(self, apply_fn: Callable, variables, *, max_batch: int = 64,
@@ -102,7 +109,7 @@ class InferenceServer:
                  example_shape: Optional[tuple] = None, example_dtype=None,
                  max_queue: Optional[int] = None,
                  request_timeout_ms: Optional[float] = None,
-                 resolver_threads: int = 4):
+                 resolver_threads: int = 1):
         self._fn = jax.jit(apply_fn)
         self._variables = variables
         self.max_batch = int(max_batch)
@@ -369,7 +376,7 @@ def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
                 max_wait_ms: float = 2.0, example_shape: Optional[tuple] = None,
                 example_dtype=None, max_queue: Optional[int] = None,
                 request_timeout_ms: Optional[float] = None,
-                resolver_threads: int = 4) -> InferenceServer:
+                resolver_threads: int = 1) -> InferenceServer:
     """InferenceServer over a zoo ``PretrainedModel`` (channels-last input).
 
     ``mode`` follows the module contract ('forward' | 'features' |
