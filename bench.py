@@ -107,7 +107,13 @@ def main():
     state = {'headline': None}
 
     def emit():
-        """Print the full result JSON line now (superset of prior prints)."""
+        """Print the full result JSON line, then a bounded COMPACT summary
+        line. The driver parses the *last* parseable stdout line within a
+        ~2000-char tail window; at 12 rows the full cumulative line outgrew
+        it (BENCH_r04 recorded ``parsed: null`` despite rc=0), so the last
+        line printed is always the compact one — headline metric + a
+        {row_name: [value, unit]} map + latency fields for the serving row —
+        asserted under 1500 chars so it survives any tail window."""
         headline = state['headline']
         if headline is None:
             headline = dict(rows[0]) if rows else {
@@ -128,6 +134,21 @@ def main():
         if notes:
             out['notes'] = notes
         print(json.dumps(out), flush=True)
+        # compact summary: no nested rows, no metric prose — bounded size
+        summary = {}
+        for r in rows:
+            name = r.get('name', 'row')
+            summary[name] = [r['value'], r['unit']]
+            for k in ('p50_ms', 'p99_ms', 'link_floor_req_s', 'mfu'):
+                if k in r:
+                    summary[f'{name}.{k}'] = r[k]
+        compact = {k: out[k] for k in ('metric', 'value', 'unit',
+                                       'vs_baseline') if k in out}
+        compact['summary'] = summary
+        compact['notes_n'] = len(notes)
+        line = json.dumps(compact)
+        assert len(line) < 1500, (len(line), line[:200])
+        print(line, flush=True)
 
     def timed_scan(apply_fn, variables, x, iters, tag):
         """sec/iter of apply_fn(variables, x) with OOM batch-halving;
@@ -179,6 +200,24 @@ def main():
                   file=sys.stderr)
             return 0.0
 
+    def b1_scaled_flops(fwd1, variables, clip, b, tag):
+        """FLOPs of one forward at the REAL batch, as b x the b1 count.
+
+        Convs are batch-linear so this avoids a full-batch remote compile
+        per row; rows carrying it stamp flops_convention='b1-scaled'.
+        ``BENCH_FLOPS_CHECK=1`` audits the convention: compile (never
+        execute) the real batch once and report counted/scaled — any
+        b1-specific padding or fusion in the counted graph shows up as a
+        ratio away from 1.0 (ADVICE r4). Measured check results live in
+        ROUND_NOTES."""
+        f1 = cost_flops(fwd1, variables, clip[:1])
+        if os.environ.get('BENCH_FLOPS_CHECK'):
+            fb = cost_flops(fwd1, variables, clip[:b])
+            ratio = fb / (f1 * b) if f1 else float('nan')
+            print(f'# {tag} flops check: b{b} counted / b1-scaled = '
+                  f'{ratio:.4f}', file=sys.stderr)
+        return f1 * b
+
     rng = np.random.RandomState(0)
 
     def rand_batch(shape, dtype=jnp.bfloat16):
@@ -214,7 +253,7 @@ def main():
         # zero-tap FLOPs to the stem — counting the folded graph would
         # inflate gflops/mfu), at b1 scaled by b (convs are batch-linear)
         fwd1 = jax.jit(lambda v, c: model.module.apply(v, c))
-        flops_fwd = cost_flops(fwd1, variables, clip[:1]) * b
+        flops_fwd = b1_scaled_flops(fwd1, variables, clip, b, 'resnet3d50')
         gf_per_clip = flops_fwd / b / 1e9
         mfu = flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS
         state['headline'] = {
@@ -225,7 +264,8 @@ def main():
         }
         rows.append(dict(state['headline'], batch=b,
                          gflops_per_clip=round(gf_per_clip, 1),
-                         mfu=round(mfu, 3)))
+                         mfu=round(mfu, 3),
+                         flops_convention='b1-scaled'))
 
     # --------------------------------- 2. resnet3d50 training step (SGD)
     def row_train():
@@ -351,13 +391,14 @@ def main():
         # true-algorithm FLOPs: the fold-4 fast stem counts ~2.25x zero-tap
         # FLOPs in the folded graph's cost analysis — use the plain module
         fwd1 = jax.jit(lambda v, c: sf.module.apply(v, c))
-        flops_fwd = cost_flops(fwd1, sf.variables, clip[:1]) * b
+        flops_fwd = b1_scaled_flops(fwd1, sf.variables, clip, b, 'slowfast')
         rows.append({
             'metric': (f'slowfast_resnet50 {sf_frames}f{SIZE}px bf16 '
                        f'clips/sec/chip (s2d stems)'),
             'value': round(clips_s, 2), 'unit': 'clips/s', 'batch': b,
             'gflops_per_clip': round(flops_fwd / b / 1e9, 1),
-            'mfu': round(flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS, 3)})
+            'mfu': round(flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS, 3),
+            'flops_convention': 'b1-scaled'})
 
     # ------------------------------------ 5. R(2+1)D-50 16f 112px inference
     def row_r2plus1d():
@@ -380,13 +421,14 @@ def main():
         clips_s = b / dt
         # plain module at b1 for true-algorithm FLOPs (no s2d zero taps)
         fwd1 = jax.jit(lambda v, c: r21.module.apply(v, c))
-        flops_fwd = cost_flops(fwd1, r21.variables, clip[:1]) * b
+        flops_fwd = b1_scaled_flops(fwd1, r21.variables, clip, b, 'r2plus1d')
         rows.append({
             'metric': (f'r2plus1d50 {FRAMES}f{r21_size}px bf16 '
                        f'clips/sec/chip (s2d stem)'),
             'value': round(clips_s, 2), 'unit': 'clips/s', 'batch': b,
             'gflops_per_clip': round(flops_fwd / b / 1e9, 1),
-            'mfu': round(flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS, 3)})
+            'mfu': round(flops_fwd / b * clips_s / V5E_BF16_PEAK_FLOPS, 3),
+            'flops_convention': 'b1-scaled'})
 
     # ---------------------------- 6. nonlocal resnet3d50 (Pallas engaged)
     def row_nonlocal():
@@ -603,53 +645,82 @@ def main():
 
     # ------------------- 11. online serving loadtest (InferenceServer)
     def row_serving():
+        """Three payload wire formats, same loadtest: preprocessed f32
+        tensors (the classic path), raw uint8 at the 256px decode size
+        (device-side fused preprocess; ~3x smaller), and encoded JPEG bytes
+        (native host decode in the client threads; ~10-30x smaller). The r4
+        row proved any ingress-limited deployment is request-bytes-bound —
+        req/s == link_MBps / req_MB — so each mode reports its OWN link
+        floor; compare modes within a session, rows across sessions only
+        when link_up_MBps is comparable (bench_compare checks this)."""
+        import io
         import threading
-        from pretorched_tpu.serving import serve_model
+        from PIL import Image
+        from pretorched_tpu.serving import _fit_uint8, serve_model
         model = pretorched.resnet50(num_classes=1000, pretrained=None).eval()
         model.bfloat16()
         max_batch = int(os.environ.get('BENCH_SERVE_MAXBATCH', '32'))
         n_req = int(os.environ.get('BENCH_SERVE_REQUESTS', '256'))
         n_cli = int(os.environ.get('BENCH_SERVE_CLIENTS', '8'))
         n_res = int(os.environ.get('BENCH_SERVE_RESOLVERS', '1'))
+        modes = os.environ.get('BENCH_SERVE_MODES', 'f32,u8,jpeg').split(',')
         shape = (SIZE, SIZE, 3)
         # context for the latency numbers: one tiny device->host round trip
         # (a request can never resolve faster than this on the axon tunnel)
         t0 = time.perf_counter()
         jax.device_get(jnp.zeros((1,)) + 1)
         rtt_ms = (time.perf_counter() - t0) * 1000
-        # ... and the host->device upload bandwidth: every request ships
-        # SIZE*SIZE*3 f32 bytes up the tunnel, so req/s can never beat
-        # link_MBps / req_MB no matter what the server does. Measured r4:
-        # the tunnel runs ~13 MB/s some sessions and ~67 MB/s others —
-        # report the floor so cross-round diffs can tell link drift from
+        # host->device upload bandwidth, measured once for all modes.
+        # The tunnel runs ~13 MB/s some sessions and ~67 MB/s others (r4) —
+        # the per-mode floor lets cross-round diffs tell link drift from
         # server regressions. (Real PCIe hosts: both are noise.)
         up = np.random.rand(1024 * 1024).astype(np.float32)      # 4MB
         jax.device_get(jax.device_put(up)[:1])                   # warm path
         t0 = time.perf_counter()
         jax.device_get(jax.device_put(up)[:1])
         link_mbps = 4.0 / (time.perf_counter() - t0)
-        req_mb = (SIZE * SIZE * 3 * 4) / 1e6
-        link_floor = link_mbps / req_mb
-        x = rng.rand(*shape).astype(np.float32)   # shared: timing is
-        lat = []                                  # data-independent
-        lock = threading.Lock()
-        with serve_model(model, max_batch=max_batch, max_wait_ms=2.0,
-                         resolver_threads=n_res) as srv:
+
+        # request payloads: one natural image in each wire format
+        here = os.path.dirname(os.path.abspath(__file__))
+        from pretorched_tpu.datasets.native import decode_jpeg_batch
+        cat = decode_jpeg_batch([open(os.path.join(here, 'data', 'cat.jpg'),
+                                      'rb').read()])[0]
+        u8_256 = _fit_uint8(cat, (256, 256, 3))
+        buf = io.BytesIO()
+        Image.fromarray(u8_256).save(buf, format='JPEG', quality=87)
+        jpeg_bytes = buf.getvalue()
+        f32_img = (u8_256[16:16 + SIZE, 16:16 + SIZE] / 255.0
+                   ).astype(np.float32)
+        t0 = time.perf_counter()
+        decode_jpeg_batch([jpeg_bytes] * 8)
+        decode_ms = (time.perf_counter() - t0) / 8 * 1000  # host decode cost
+
+        def loadtest(srv, request, warm_shape, warm_dtype, tag):
+            """req/s + latency percentiles; client errors re-raised (a
+            swallowed thread exception used to silently shorten the latency
+            array and corrupt the percentiles, ADVICE r4)."""
             b = 1
+            warm = np.zeros((max_batch,) + warm_shape, warm_dtype)
             while b <= max_batch:   # warm every bucket outside the clock
                 t0 = time.perf_counter()
-                srv(np.broadcast_to(x, (b,) + shape))
-                print(f'# serving bucket {b} warm: '
+                srv(warm[:b])
+                print(f'# serving[{tag}] bucket {b} warm: '
                       f'{time.perf_counter() - t0:.1f}s', file=sys.stderr)
                 b *= 2
+            lat, errs = [], []
+            lock = threading.Lock()
 
             def client(n):
-                for _ in range(n):
-                    t0 = time.perf_counter()
-                    srv.submit(x).result()
-                    dt = time.perf_counter() - t0
+                try:
+                    for _ in range(n):
+                        t0 = time.perf_counter()
+                        srv.submit(request).result()
+                        dt = time.perf_counter() - t0
+                        with lock:
+                            lat.append(dt)
+                except BaseException as e:   # noqa: BLE001 — re-raised below
                     with lock:
-                        lat.append(dt)
+                        errs.append(e)
 
             per = [n_req // n_cli + (1 if i < n_req % n_cli else 0)
                    for i in range(n_cli)]
@@ -661,18 +732,55 @@ def main():
             for t in threads:
                 t.join()
             wall = time.perf_counter() - t0
-        lat_ms = np.sort(np.asarray(lat)) * 1000
-        rows.append({
-            'metric': (f'serving loadtest resnet50 {SIZE}px bf16 '
-                       f'({n_cli} clients, max_batch {max_batch}, '
-                       f'{n_res} resolvers, dynamic pow2 bucketing) req/sec'),
-            'value': round(n_req / wall, 2), 'unit': 'req/s',
-            'p50_ms': round(float(lat_ms[n_req // 2]), 1),
-            'p99_ms': round(float(lat_ms[int(n_req * 0.99)]), 1),
-            'tunnel_rtt_ms': round(rtt_ms, 1),
-            'link_up_MBps': round(link_mbps, 1),
-            'link_floor_req_s': round(link_floor, 1),
-            'buckets': sorted(srv.bucket_compiles)})
+            if errs:
+                raise errs[0]
+            assert len(lat) == n_req, (len(lat), n_req)
+            p50, p99 = np.percentile(np.asarray(lat) * 1000, [50, 99])
+            return n_req / wall, p50, p99
+
+        def report(tag, name, req_bytes, reqs, p50, p99, srv, extra=()):
+            rows.append(dict({
+                'metric': (f'serving loadtest resnet50 {SIZE}px bf16 '
+                           f'{tag} payload ({n_cli} clients, max_batch '
+                           f'{max_batch}, {n_res} resolvers, dynamic pow2 '
+                           f'bucketing) req/sec'),
+                'name': name,
+                'value': round(reqs, 2), 'unit': 'req/s',
+                'p50_ms': round(float(p50), 1),
+                'p99_ms': round(float(p99), 1),
+                'req_KB': round(req_bytes / 1e3, 1),
+                'tunnel_rtt_ms': round(rtt_ms, 1),
+                'link_up_MBps': round(link_mbps, 1),
+                'link_floor_req_s': round(link_mbps / (req_bytes / 1e6), 1),
+                'buckets': sorted(srv.bucket_compiles)}, **dict(extra)))
+
+        if 'f32' in modes:
+            with serve_model(model, max_batch=max_batch, max_wait_ms=2.0,
+                             resolver_threads=n_res) as srv:
+                reqs, p50, p99 = loadtest(srv, f32_img, shape, np.float32,
+                                          'f32')
+            report('f32 tensor', 'serving', SIZE * SIZE * 3 * 4,
+                   reqs, p50, p99, srv)
+            emit()
+        if 'u8' in modes:
+            with serve_model(model, max_batch=max_batch, max_wait_ms=2.0,
+                             resolver_threads=n_res,
+                             payload='uint8',
+                             preprocess_dtype='bfloat16') as srv:
+                reqs, p50, p99 = loadtest(srv, u8_256, (256, 256, 3),
+                                          np.uint8, 'u8')
+            report('uint8 256px', 'serving_u8', 256 * 256 * 3,
+                   reqs, p50, p99, srv)
+            emit()
+        if 'jpeg' in modes:
+            with serve_model(model, max_batch=max_batch, max_wait_ms=2.0,
+                             resolver_threads=n_res, payload='jpeg',
+                             preprocess_dtype='bfloat16') as srv:
+                reqs, p50, p99 = loadtest(srv, jpeg_bytes, (256, 256, 3),
+                                          np.uint8, 'jpeg')
+            report('jpeg-encoded', 'serving_jpeg', len(jpeg_bytes),
+                   reqs, p50, p99, srv,
+                   extra={'host_decode_ms': round(decode_ms, 2)})
 
     # -------------- 12. BigGAN-256 conditional sampling (BASELINE config 5)
     def row_biggan():
@@ -724,12 +832,15 @@ def main():
             print(f'# {notes[-1]}', file=sys.stderr)
             emit()
             continue
+        n_before = len(rows)
         try:
             fn()
         except Exception as e:
             notes.append(f'{name}: FAILED {type(e).__name__}: '
                          + str(e).splitlines()[0][:200])
             print(f'# {notes[-1]}', file=sys.stderr)
+        for r in rows[n_before:]:       # stable short id for the compact
+            r.setdefault('name', name)  # summary + cross-round matching
         emit()
         gc.collect()
 

@@ -43,6 +43,13 @@ per-request forward both recompiles and wastes the MXU at batch 1.
   19.4. On a real PCIe host both transfers are microseconds and the
   setting is moot.
 
+* Requests need not be preprocessed tensors: ``serve_model(payload=...)``
+  also serves **uint8 images** (device-side fused resize/crop/normalize —
+  4x smaller requests) and **encoded JPEG bytes** (native libjpeg decode in
+  the submitting thread — ~10-30x smaller). The r4 loadtest proved the
+  wire format IS the throughput knob on an ingress-limited deployment:
+  req/s == link bandwidth / request bytes no matter how good the batching.
+
 Single-process, single-module executor by design: shard the model over a
 mesh *inside* ``apply_fn`` (e.g. with the ``parallel`` layer's shardings)
 and this server scales to a pod slice unchanged — the queue/bucket logic
@@ -102,6 +109,10 @@ class InferenceServer:
         readbacks); raise only when outputs are large relative to the
         host<->device link (see the module docstring for the measured
         trade-off).
+      request_transform: optional callable applied to every raw request in
+        the SUBMITTING thread before validation/queueing — how compressed
+        payload modes (JPEG bytes -> uint8 array) plug in without touching
+        the batcher; host decode work parallelizes across client threads.
     """
 
     def __init__(self, apply_fn: Callable, variables, *, max_batch: int = 64,
@@ -109,8 +120,10 @@ class InferenceServer:
                  example_shape: Optional[tuple] = None, example_dtype=None,
                  max_queue: Optional[int] = None,
                  request_timeout_ms: Optional[float] = None,
-                 resolver_threads: int = 1):
+                 resolver_threads: int = 1,
+                 request_transform: Optional[Callable] = None):
         self._fn = jax.jit(apply_fn)
+        self._transform = request_transform
         self._variables = variables
         self.max_batch = int(max_batch)
         self.max_wait = max_wait_ms / 1000.0
@@ -150,7 +163,14 @@ class InferenceServer:
     def submit(self, x) -> Future:
         """Enqueue one example (example_ndim) or a batch of them; returns a
         Future resolving to the corresponding output (leading axis dropped
-        for single examples)."""
+        for single examples).
+
+        When the server has a ``request_transform`` (e.g. the JPEG payload
+        mode), it runs here — in the CALLER's thread, so expensive host work
+        like JPEG decode parallelizes across client threads instead of
+        serializing in the batcher."""
+        if self._transform is not None:
+            x = self._transform(x)
         x = np.asarray(x)
         single = self.example_ndim is not None and x.ndim == self.example_ndim
         if single:
@@ -189,12 +209,37 @@ class InferenceServer:
                     f'{self.max_queue}')
             self._pending += x.shape[0]
             fut: Future = Future()
-            self._q.put((x, single, fut, time.monotonic()))
+            # the trailing [False] cell marks the request FINISHED (future
+            # resolved + _pending decremented) — _finish flips it exactly
+            # once no matter how many paths see the item
+            self._q.put((x, single, fut, time.monotonic(), [False]))
         return fut
 
     def _dec_pending(self, k: int):
         with self._lock:
             self._pending -= k
+
+    def _finish(self, item, *, result=None, exc=None):
+        """Resolve one request EXACTLY ONCE: decrement the admission count
+        and set the future, tolerating a client-side ``Future.cancel()``.
+        The fin cell makes double-resolution impossible when a bucket dies
+        halfway through ``_resolve`` and its items reappear in ``_die``'s
+        in-flight sweep — that path used to double-decrement ``_pending``
+        (loosening max_queue admission) and a cancelled future's
+        ``set_result`` raising InvalidStateError inside a resolver used to
+        kill the whole server (ADVICE r4)."""
+        x, _, fut, _, fin = item
+        if fin[0]:
+            return
+        fin[0] = True
+        self._dec_pending(x.shape[0])
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(result)
+        except Exception:   # InvalidStateError: the client cancel()ed a
+            pass            # queued request; nothing is owed to it
 
     def __call__(self, x):
         """Synchronous convenience: submit + wait."""
@@ -234,13 +279,11 @@ class InferenceServer:
         """Fail a request that sat queued past request_timeout_ms."""
         if self._timeout is None:
             return False
-        x, _, fut, t0 = item
-        if time.monotonic() - t0 <= self._timeout:
+        if time.monotonic() - item[3] <= self._timeout:
             return False
-        fut.set_exception(TimeoutError(
+        self._finish(item, exc=TimeoutError(
             f'request expired after {self._timeout * 1000:.0f} ms in queue '
             f'(request_timeout_ms; the server is overloaded)'))
-        self._dec_pending(x.shape[0])
         return True
 
     def _take_batch(self):
@@ -294,7 +337,7 @@ class InferenceServer:
                     continue
                 if self._exc is not None:       # resolver died: fail fast
                     raise self._exc
-                xs = np.concatenate([x for x, _, _, _ in items], axis=0)
+                xs = np.concatenate([it[0] for it in items], axis=0)
                 n = xs.shape[0]
                 bucket = min(_next_pow2(n), self.max_batch)
                 if bucket > n:                  # pad with the last row
@@ -350,10 +393,7 @@ class InferenceServer:
             if entry is not None:
                 in_flight.extend(entry[0])
         for item in in_flight:
-            fut = item[2]
-            if not fut.done():
-                fut.set_exception(self._exc)
-            self._dec_pending(item[0].shape[0])
+            self._finish(item, exc=self._exc)
 
     @staticmethod
     def _split_outputs(out, start, stop):
@@ -362,21 +402,75 @@ class InferenceServer:
     def _resolve(self, items, n, out):
         out = jax.device_get(self._split_outputs(out, 0, n))
         off = 0
-        for x, single, fut, _ in items:
+        for item in items:
+            x, single = item[0], item[1]
             k = x.shape[0]
             piece = self._split_outputs(out, off, off + k)
             if single:
                 piece = jax.tree_util.tree_map(lambda o: o[0], piece)
-            fut.set_result(piece)
-            self._dec_pending(k)
+            self._finish(item, result=piece)
             off += k
+
+
+def _fit_uint8(img: np.ndarray, shape) -> np.ndarray:
+    """Host-side fit of a decoded image onto the pinned uint8 signature:
+    short-side resize + center crop (PIL bilinear). No-op when the decode
+    already matches — the hot path; the *real* (antialiased, settings-
+    faithful) resize happens on device in ``transforms.fused``."""
+    if img.shape == tuple(shape):
+        return img
+    from PIL import Image
+    th, tw = shape[:2]
+    h, w = img.shape[:2]
+    s = max(th / h, tw / w)
+    nh, nw = max(int(round(h * s)), th), max(int(round(w * s)), tw)
+    arr = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+    top, left = (nh - th) // 2, (nw - tw) // 2
+    return arr[top:top + th, left:left + tw]
+
+
+def _jpeg_transform(decode_shape, threads: int):
+    """request_transform decoding JPEG bytes (or a list of them) to uint8
+    arrays on the pinned decode geometry, in the submitting thread.
+
+    Uses the native libjpeg pool (datasets/native.py) with a batch-wide DCT
+    ``scale_denom`` — the largest power-of-two downscale that keeps every
+    image's short side at or above the pinned size, so oversized uploads
+    never cost full-resolution host decode."""
+    from .datasets.native import decode_jpeg_batch, jpeg_short_side
+    target_short = min(decode_shape[:2])
+
+    def transform(req):
+        if isinstance(req, (bytes, bytearray, memoryview)):
+            bufs, single = [bytes(req)], True
+        elif (isinstance(req, (list, tuple)) and req
+              and isinstance(req[0], (bytes, bytearray, memoryview))):
+            bufs, single = [bytes(b) for b in req], False
+        else:
+            return req          # already decoded: flows down the uint8 path
+        denom = 8
+        for b in bufs:
+            s = jpeg_short_side(b)
+            if s is None:
+                denom = 1
+                break
+            while denom > 1 and s // denom < target_short:
+                denom //= 2
+        imgs = decode_jpeg_batch(bufs, threads=threads, scale_denom=denom)
+        arr = np.stack([_fit_uint8(im, decode_shape) for im in imgs])
+        return arr[0] if single else arr
+
+    return transform
 
 
 def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
                 max_wait_ms: float = 2.0, example_shape: Optional[tuple] = None,
                 example_dtype=None, max_queue: Optional[int] = None,
                 request_timeout_ms: Optional[float] = None,
-                resolver_threads: int = 1) -> InferenceServer:
+                resolver_threads: int = 1, payload: str = 'tensor',
+                decode_shape: Optional[tuple] = None,
+                preprocess_dtype: str = 'float32',
+                jpeg_threads: int = 4) -> InferenceServer:
     """InferenceServer over a zoo ``PretrainedModel`` (channels-last input).
 
     ``mode`` follows the module contract ('forward' | 'features' |
@@ -384,15 +478,74 @@ def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
     from ``model.input_size`` CHW metadata) in production so a malformed
     first request can never define the served signature; when omitted the
     first request defines it, which keeps fully-convolutional models
-    servable at any resolution."""
+    servable at any resolution.
+
+    ``payload`` picks the request wire format — the r4 loadtest proved any
+    ingress-limited deployment is bound by request bytes, not server code
+    (a 224px f32 image is 602 KB; the axon tunnel moved ~13 MB/s, so req/s
+    == link/0.602 regardless of batching):
+
+    * ``'tensor'`` — preprocessed float tensors, the classic path.
+    * ``'uint8'`` — raw uint8 HWC images at ``decode_shape`` (default: the
+      model's pre-crop resize size, e.g. 256px for 224px models at
+      scale=0.875); the fused resize->crop->normalize chain
+      (``transforms.fused``) runs ON DEVICE inside the served program.
+      4x smaller requests than f32 at equal resolution.
+    * ``'jpeg'`` — encoded JPEG bytes (one ``bytes`` or a list of them);
+      decoded on the host by the native libjpeg pool in the SUBMITTING
+      thread (parallel across clients), then the uint8 path. ~10-30x
+      smaller requests for natural images.
+
+    uint8/jpeg payloads pin the served signature to ``decode_shape``
+    automatically. Video models (input_ndim=5) must pass ``decode_shape``
+    explicitly, e.g. ``(16, 256, 256, 3)``. ``preprocess_dtype='bfloat16'``
+    runs the device preprocess at half HBM traffic (pair with a bf16
+    model)."""
     module = model.module
-
-    def apply_fn(variables, x):
-        return module.apply(variables, x, mode=mode)
-
     # one example = the model's batched input rank minus the batch axis
     # (video models stamp input_ndim=5: B,T,H,W,C -> a clip is rank 4)
     example_ndim = (getattr(model, 'input_ndim', None) or 4) - 1
+    request_transform = None
+
+    if payload == 'tensor':
+        def apply_fn(variables, x):
+            return module.apply(variables, x, mode=mode)
+    elif payload in ('uint8', 'jpeg'):
+        from .transforms.fused import _fused, _settings_tuple
+        src = model.settings if model.settings is not None else model
+        if not (isinstance(src, dict) or hasattr(src, 'mean')):
+            raise ValueError(
+                'uint8/jpeg payloads need preprocessing settings; this '
+                'model carries no mean/std metadata')
+        spec = _settings_tuple(src)
+        if decode_shape is None:
+            if example_ndim != 3:
+                raise ValueError(
+                    'video models need an explicit decode_shape, e.g. '
+                    '(frames, 256, 256, 3)')
+            short = int(np.floor(max(spec[0]) / spec[5]))  # crop/scale
+            decode_shape = (short, short, 3)
+        example_shape = tuple(decode_shape)
+        example_dtype = np.uint8
+
+        def apply_fn(variables, x_u8):
+            x = x_u8
+            if x.ndim == 5:     # video clips: preprocess per frame
+                b, t = x.shape[:2]
+                x = x.reshape((b * t,) + x.shape[2:])
+            x = _fused(x, spec, dtype=preprocess_dtype)
+            if x_u8.ndim == 5:
+                x = x.reshape((b, t) + x.shape[1:])
+            return module.apply(variables, x, mode=mode)
+
+        if payload == 'jpeg':
+            if example_ndim != 3:
+                raise ValueError('jpeg payload serves single images only')
+            request_transform = _jpeg_transform(decode_shape, jpeg_threads)
+    else:
+        raise ValueError(f"payload must be 'tensor'|'uint8'|'jpeg', "
+                         f"got {payload!r}")
+
     return InferenceServer(apply_fn, model.variables, max_batch=max_batch,
                            max_wait_ms=max_wait_ms,
                            example_ndim=example_ndim,
@@ -400,4 +553,5 @@ def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
                            example_dtype=example_dtype,
                            max_queue=max_queue,
                            request_timeout_ms=request_timeout_ms,
-                           resolver_threads=resolver_threads)
+                           resolver_threads=resolver_threads,
+                           request_transform=request_transform)

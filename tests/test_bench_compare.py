@@ -56,3 +56,60 @@ def test_config_notes_do_not_break_matching():
     k1 = bench_compare.row_key('slowfast 64f (s2d stems) clips/sec')
     k2 = bench_compare.row_key('slowfast 64f (fold-4 fast stem) clips/sec')
     assert k1 == k2
+
+
+def test_latency_percentile_fields_are_diffed():
+    """A p99 regression with stable req/s must fail the guard (ADVICE r4:
+    exactly the r3 head-of-line bug would have passed silently)."""
+    old = [{'metric': 'serving req/sec', 'name': 'serving', 'value': 50.0,
+            'unit': 'req/s', 'p50_ms': 35.0, 'p99_ms': 41.0}]
+    new = [{'metric': 'serving req/sec', 'name': 'serving', 'value': 50.0,
+            'unit': 'req/s', 'p50_ms': 36.0, 'p99_ms': 900.0}]
+    regs, lines = bench_compare.compare(old, new, 0.10)
+    assert {r[0] for r in regs} == {'serving.p99_ms'}
+    # tunnel_rtt_ms is a link property, never a diffed metric
+    old[0]['tunnel_rtt_ms'] = 10.0
+    new[0]['tunnel_rtt_ms'] = 500.0
+    new[0]['p99_ms'] = 41.0
+    regs, _ = bench_compare.compare(old, new, 0.10)
+    assert regs == []
+
+
+def test_link_drift_suppresses_serving_regression():
+    """Serving rows measured under a ~5x-different tunnel uplink are not
+    comparable (CLAUDE r4): the delta is reported as LINKDRIFT, not a
+    failure — but with a STABLE link the same delta still fails."""
+    old = [{'metric': 'serving req/sec', 'name': 'serving', 'value': 50.0,
+            'unit': 'req/s', 'p99_ms': 41.0, 'link_up_MBps': 67.0}]
+    new = [{'metric': 'serving req/sec', 'name': 'serving', 'value': 12.0,
+            'unit': 'req/s', 'p99_ms': 200.0, 'link_up_MBps': 13.0}]
+    regs, lines = bench_compare.compare(old, new, 0.10)
+    assert regs == []
+    assert any('LINKDRIFT' in ln for ln in lines)
+    new[0]['link_up_MBps'] = 66.0          # same-session link: real regress
+    regs, _ = bench_compare.compare(old, new, 0.10)
+    assert {r[0] for r in regs} == {'serving', 'serving.p99_ms'}
+
+
+def test_loads_compact_summary_line(tmp_path):
+    """The bounded final line bench prints (summary map, no rows) must be
+    loadable — it is all the driver's tail window is guaranteed to hold."""
+    compact = {'metric': 'resnet3d50 clips/sec', 'value': 1142.7,
+               'unit': 'clips/s', 'vs_baseline': 11.4,
+               'summary': {'resnet3d50': [1142.7, 'clips/s'],
+                           'resnet3d50.mfu': 0.438,
+                           'serving': [54.2, 'req/s'],
+                           'serving.p99_ms': 41.0,
+                           'serving.link_floor_req_s': 48.9},
+               'notes_n': 0}
+    p = tmp_path / 'compact.json'
+    p.write_text(json.dumps({'parsed': compact}))
+    rows = {r['name']: r for r in bench_compare.load_rows(str(p))}
+    assert rows['resnet3d50']['value'] == 1142.7
+    assert rows['resnet3d50']['mfu'] == 0.438
+    assert rows['serving']['p99_ms'] == 41.0
+    # name-keyed rows match against old metric-keyed rows by name too
+    old = [{'metric': 'serving whatever req/sec', 'name': 'serving',
+            'value': 54.0, 'unit': 'req/s', 'p99_ms': 40.0}]
+    regs, _ = bench_compare.compare(old, list(rows.values()), 0.10)
+    assert regs == []

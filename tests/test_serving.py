@@ -5,6 +5,7 @@ how requests were coalesced/padded; bucket sizes are bounded; errors
 propagate; close() drains."""
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -87,21 +88,60 @@ def test_serving_resolver_pool_correctness(rng):
 
 
 def test_serving_resolver_pool_error_propagates(rng):
-    """A pool resolver hitting an execution error still fails every
-    outstanding future and close() reports the death."""
+    """A RESOLVER thread dying (error during device->host readback, not a
+    trace-time error in the batcher) still fails every outstanding future
+    and close() reports the death. The failure is injected at readback —
+    monkeypatching the instance's _split_outputs, which only the resolver
+    calls — so this exercises _resolve_loop -> _die specifically (a
+    bad apply_fn raises at jit trace time inside the BATCHER instead,
+    which test_serving_error_propagates already covers)."""
     variables = _vars(rng)
-
-    def bad_apply(variables, x):
-        return x.reshape(x.shape[0], -1) @ variables['w'][:2]  # shape error
-
-    srv = InferenceServer(bad_apply, variables, max_batch=4,
+    srv = InferenceServer(_linear_apply, variables, max_batch=4,
                           max_wait_ms=0.0, example_ndim=2,
                           resolver_threads=3)
+
+    def exploding_split(out, start, stop):
+        raise RuntimeError('injected readback failure')
+
+    srv._split_outputs = exploding_split
     futs = [srv.submit(np.ones((3, 4), np.float32)) for _ in range(8)]
     for f in futs:
-        with pytest.raises(Exception):
+        with pytest.raises(RuntimeError, match='injected readback'):
             f.result(timeout=60)
     with pytest.raises(RuntimeError):
+        srv.close()
+    assert srv._pending == 0        # exactly-once accounting held
+
+
+def test_serving_cancelled_future_does_not_kill_server(rng):
+    """A client cancelling a queued Future must not crash the resolver
+    (set_result on a cancelled future raises InvalidStateError) nor corrupt
+    the _pending admission count (ADVICE r4)."""
+    gate = threading.Event()
+
+    def gated_apply(variables, x):
+        gate.wait(30)
+        return _linear_apply(variables, x)
+
+    variables = _vars(rng)
+    srv = InferenceServer(gated_apply, variables, max_batch=2,
+                          max_wait_ms=0.0, example_ndim=2, max_queue=8)
+    try:
+        x = rng.randn(3, 4).astype(np.float32)
+        first = srv.submit(x)        # occupies the batcher at the gate
+        victim = srv.submit(x)       # still queued
+        assert victim.cancel()       # client walks away
+        gate.set()
+        first.result(timeout=60)
+        # server is alive and admission accounting is exact
+        y = srv.submit(x).result(timeout=60)
+        assert y.shape == (5,)
+        deadline = time.monotonic() + 10
+        while srv._pending != 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv._pending == 0
+    finally:
+        gate.set()
         srv.close()
 
 
@@ -230,6 +270,93 @@ def test_serving_close_retry_joins_again(rng):
     srv.submit(rng.randn(3, 4).astype(np.float32)).result(timeout=60)
     srv.close(timeout=60)
     srv.close(timeout=60)      # idempotent; second call must not raise
+
+
+def test_serving_uint8_payload(rng):
+    """payload='uint8': raw 256px uint8 requests, fused resize/crop/
+    normalize ON DEVICE inside the served program — results match the
+    offline fused_preprocess -> forward reference exactly."""
+    from pretorched_tpu.transforms.fused import fused_preprocess
+
+    model = pretorched_tpu.resnet18(num_classes=11, pretrained=None).eval()
+    raw = rng.randint(0, 255, (3, 256, 256, 3)).astype(np.uint8)
+    with serve_model(model, max_batch=4, max_wait_ms=1.0,
+                     payload='uint8') as srv:
+        # default decode geometry = pre-crop resize size (224/0.875 = 256)
+        assert srv._example_shape == (256, 256, 3)
+        y0 = srv(raw[0])
+        yb = srv(raw)
+    x = fused_preprocess(raw, model.settings or model)
+    ref = np.asarray(model.module.apply(model.variables, x))
+    np.testing.assert_allclose(y0, ref[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(yb, ref, rtol=1e-4, atol=1e-4)
+    # f32 requests are rejected at the caller, not the batcher
+    with pytest.raises(ValueError, match='signature'):
+        srv2 = serve_model(model, max_batch=4, payload='uint8')
+        try:
+            srv2.submit(raw[0].astype(np.float32))
+        finally:
+            srv2.close()
+
+
+def test_serving_jpeg_payload(rng):
+    """payload='jpeg': encoded bytes in, logits out; oracle is the same
+    decode (datasets.native) + fused preprocess + forward offline."""
+    import io
+
+    from PIL import Image
+
+    from pretorched_tpu.datasets.native import decode_jpeg_batch
+    from pretorched_tpu.transforms.fused import fused_preprocess
+
+    model = pretorched_tpu.resnet18(num_classes=7, pretrained=None).eval()
+    # smooth gradient image: compresses like a natural photo
+    yy, xx = np.mgrid[0:256, 0:256]
+    img = np.stack([yy, xx, (yy + xx) // 2], -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format='JPEG', quality=90)
+    jpeg = buf.getvalue()
+
+    with serve_model(model, max_batch=4, max_wait_ms=1.0,
+                     payload='jpeg') as srv:
+        y1 = srv(jpeg)                       # one encoded image
+        y2 = srv([jpeg, jpeg])               # a batch of encoded images
+    decoded = decode_jpeg_batch([jpeg])[0]
+    assert decoded.shape == (256, 256, 3)
+    x = fused_preprocess(decoded[None], model.settings or model)
+    ref = np.asarray(model.module.apply(model.variables, x))[0]
+    np.testing.assert_allclose(y1, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(y2[0], ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(y2[1], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_serving_jpeg_payload_odd_geometry(rng):
+    """An off-signature JPEG (tall 300x200) is fitted host-side (short-side
+    resize + center crop) instead of rejected — the server keeps a single
+    static signature while accepting arbitrary client uploads."""
+    import io
+
+    from PIL import Image
+
+    model = pretorched_tpu.resnet18(num_classes=5, pretrained=None).eval()
+    yy, xx = np.mgrid[0:300, 0:200]
+    img = np.stack([yy % 256, xx % 256, (yy + xx) % 256], -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format='JPEG', quality=90)
+    with serve_model(model, max_batch=2, max_wait_ms=1.0,
+                     payload='jpeg') as srv:
+        y = srv(buf.getvalue())
+    assert y.shape == (5,) and np.all(np.isfinite(y))
+
+
+def test_fit_uint8_geometry():
+    from pretorched_tpu.serving import _fit_uint8
+
+    img = np.arange(300 * 200 * 3, dtype=np.uint8).reshape(300, 200, 3)
+    out = _fit_uint8(img, (256, 256, 3))
+    assert out.shape == (256, 256, 3) and out.dtype == np.uint8
+    same = np.zeros((256, 256, 3), np.uint8)
+    assert _fit_uint8(same, (256, 256, 3)) is same      # hot path: no copy
 
 
 def test_serving_overload_shedding(rng):

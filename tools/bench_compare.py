@@ -23,44 +23,72 @@ import re
 import sys
 
 
+def _rows_from_doc(doc):
+    """Rows from one parsed bench JSON object: the full cumulative form
+    carries 'rows'; the bounded COMPACT form (bench r5's final line, built
+    to survive the driver's tail window) carries a {name: [value, unit]}
+    'summary' with dotted latency/mfu entries — reconstitute rows from it."""
+    if 'rows' in doc:
+        return doc['rows']
+    if 'summary' in doc:
+        rows = {}
+        for k, v in doc['summary'].items():
+            if '.' not in k and isinstance(v, list) and len(v) == 2:
+                rows[k] = {'name': k, 'metric': k, 'value': v[0],
+                           'unit': v[1]}
+        for k, v in doc['summary'].items():
+            if '.' in k:
+                name, field = k.split('.', 1)
+                if name in rows:
+                    rows[name][field] = v
+        return list(rows.values())
+    return []
+
+
 def load_rows(path: str):
     """Rows from a bench result: accepts the driver's ``BENCH_r{N}.json``
     wrapper ({"parsed": {...}}), a whole-file bench JSON, or raw bench
-    stdout (takes the last parseable line, like the driver does)."""
+    stdout. For raw stdout, prefers the last line carrying full 'rows'
+    (the compact summary line printed after it drops per-row detail)."""
     try:
         doc = json.load(open(path))
         if isinstance(doc, dict):
             if isinstance(doc.get('parsed'), dict):
-                return doc['parsed'].get('rows', [])
-            if 'rows' in doc:
-                return doc['rows']
+                return _rows_from_doc(doc['parsed'])
+            if 'rows' in doc or 'summary' in doc:
+                return _rows_from_doc(doc)
             if 'tail' in doc:          # driver wrapper whose parse failed:
                 last = None            # scan the captured stdout tail
                 for line in str(doc['tail']).splitlines():
                     if line.strip().startswith('{'):
                         try:
-                            last = json.loads(line)
+                            parsed = json.loads(line)
                         except json.JSONDecodeError:
                             continue
+                        if 'rows' in parsed or last is None:
+                            last = parsed
                 if last is not None:
-                    return last.get('rows', [])
+                    return _rows_from_doc(last)
                 raise SystemExit(f'{path}: driver wrapper holds no '
                                  f'parseable bench output (rc='
                                  f'{doc.get("rc")})')
     except json.JSONDecodeError:
         pass
-    last = None
+    last_full, last_any = None, None
     with open(path) as f:
         for line in f:
             line = line.strip()
             if line.startswith('{'):
                 try:
-                    last = json.loads(line)
+                    parsed = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-    if last is None:
+                last_any = parsed
+                if 'rows' in parsed:
+                    last_full = parsed
+    if last_full is None and last_any is None:
         raise SystemExit(f'{path}: no parseable JSON line')
-    return last.get('rows', [])
+    return _rows_from_doc(last_full if last_full is not None else last_any)
 
 
 def row_key(metric: str) -> str:
@@ -70,32 +98,71 @@ def row_key(metric: str) -> str:
     return re.sub(r'\s+', ' ', key).strip()
 
 
+# link properties, not server behavior: never diffed as metrics themselves
+_LINK_FIELDS = ('tunnel_rtt_ms', 'link_up_MBps', 'link_floor_req_s')
+
+
+def _link_drift(orow, nrow) -> bool:
+    """True when the two rows were measured under very different tunnel
+    uplinks (the axon link varies ~5x between sessions, CLAUDE r4) — their
+    serving throughput/latency deltas are link noise, not code."""
+    if 'link_up_MBps' not in orow or 'link_up_MBps' not in nrow:
+        return False
+    lo, ln = float(orow['link_up_MBps']), float(nrow['link_up_MBps'])
+    return max(lo, ln) / max(min(lo, ln), 1e-9) > 1.5
+
+
 def compare(old_rows, new_rows, tolerance: float):
-    old = {row_key(r['metric']): r for r in old_rows}
-    new = {row_key(r['metric']): r for r in new_rows}
+    # match by the stable short 'name' when both sides carry one (bench r5
+    # stamps it); fall back to the normalized metric string for old files
+    old_by_name = {r['name']: r for r in old_rows if 'name' in r}
+    old_by_metric = {row_key(r['metric']): r for r in old_rows}
+    matched = set()
     regressions, lines = [], []
-    for key, nr in new.items():
-        orow = old.get(key)
+    for nr in new_rows:
+        key = nr.get('name') or row_key(nr['metric'])
+        orow = old_by_name.get(nr.get('name')) \
+            or old_by_metric.get(row_key(nr['metric']))
         if orow is None:
             lines.append(f'  NEW     {key}: {nr["value"]} {nr["unit"]}')
             continue
-        lower_better = nr['unit'] in ('ms', 's')
-        ov, nv = float(orow['value']), float(nr['value'])
-        if ov == 0:
-            continue
-        delta = (nv - ov) / abs(ov)
-        regressed = delta < -tolerance if not lower_better \
-            else delta > tolerance
-        arrow = 'REGRESS' if regressed else ('better ' if (
-            delta > 0) != lower_better and abs(delta) > 0.005 else 'flat   ')
-        lines.append(f'  {arrow} {key}: {ov} -> {nv} {nr["unit"]} '
-                     f'({delta:+.1%})')
-        if regressed:
-            regressions.append((key, ov, nv, delta))
-    for key in old:
-        if key not in new:
+        matched.add(id(orow))
+        drift = _link_drift(orow, nr)
+        # the row's value, plus every latency-percentile field present on
+        # both sides (lower is better) — a p99 regression with stable req/s
+        # must not pass silently (ADVICE r4)
+        checks = [('', nr['unit'] in ('ms', 's'),
+                   orow.get('value'), nr.get('value'), nr['unit'])]
+        for f in sorted(set(nr) & set(orow)):
+            if (f.endswith('_ms') and f not in _LINK_FIELDS
+                    and isinstance(nr[f], (int, float))
+                    and isinstance(orow[f], (int, float))):
+                checks.append((f'.{f}', True, orow[f], nr[f], 'ms'))
+        for suffix, lower_better, ov, nv, unit in checks:
+            ov, nv = float(ov), float(nv)
+            if ov == 0:
+                continue
+            delta = (nv - ov) / abs(ov)
+            regressed = delta > tolerance if lower_better \
+                else delta < -tolerance
+            if regressed and drift:
+                lines.append(f'  LINKDRIFT {key}{suffix}: {ov} -> {nv} '
+                             f'{unit} ({delta:+.1%}) — uplink changed '
+                             f'{orow["link_up_MBps"]} -> '
+                             f'{nr["link_up_MBps"]} MB/s, not comparable')
+                continue
+            arrow = 'REGRESS' if regressed else ('better ' if (
+                delta > 0) != lower_better and abs(delta) > 0.005
+                else 'flat   ')
+            lines.append(f'  {arrow} {key}{suffix}: {ov} -> {nv} {unit} '
+                         f'({delta:+.1%})')
+            if regressed:
+                regressions.append((f'{key}{suffix}', ov, nv, delta))
+    for r in old_rows:
+        if id(r) not in matched:
+            key = r.get('name') or row_key(r['metric'])
             lines.append(f'  DROPPED {key}')
-            regressions.append((key, old[key]['value'], None, None))
+            regressions.append((key, r['value'], None, None))
     return regressions, lines
 
 
