@@ -115,6 +115,143 @@ def moe_apply(expert_fn: Callable, stacked_params, x, router_w,
     }
 
 
+# ---------------------------------------------------------------------------
+# Expert-parallel MSTRN relation head — expert parallelism on a REAL zoo model
+# (reference trn.py:59-113), not a synthetic MLP.
+
+def mstrn_expert_spec(num_inputs: int, num_relations: int = 3,
+                      pad_experts_to: Optional[int] = None):
+    """Static dispatch spec treating MultiScaleRelation as heterogeneous
+    experts with DETERMINISTIC routing.
+
+    MSTRN's per-scale relation MLPs (scale k = n..2, models/trn.py
+    ``MultiScaleRelation``; reference trn.py:59-113) are a mixture of
+    experts where the router is the scale structure itself: expert ``si``
+    is the 2-layer MLP for scale ``k_si`` and its tokens are each video's
+    first-``min(num_relations, C(n,k))`` k-frame combinations (the module's
+    deterministic no-rng path). Scales have heterogeneous widths (k*d
+    concat), so inputs and first-layer kernels are zero-padded to the
+    widest (n*d) — exact, because ``Relation`` applies relu before its
+    first dense and the padded kernel rows are zero.
+
+    Returns static numpy tables: ``sel`` (E,K,n) frame indices,
+    ``frame_mask``/``token_mask`` zeroing padded slots/combinations,
+    ``scales`` (live experts), and E/K/num_inputs. ``pad_experts_to``
+    appends all-zero experts so E divides a mesh's expert axis."""
+    import numpy as np
+    scales = list(range(num_inputs, 1, -1))
+    E = pad_experts_to or len(scales)
+    assert E >= len(scales), (E, scales)
+    K = max(min(num_relations, math.comb(num_inputs, k)) for k in scales)
+    sel = np.zeros((E, K, num_inputs), np.int32)
+    fmask = np.zeros((E, K, num_inputs), np.float32)
+    tmask = np.zeros((E, K), np.float32)
+    import itertools
+    for si, k in enumerate(scales):
+        combos = list(itertools.combinations(range(num_inputs), k))
+        for j in range(min(num_relations, len(combos))):
+            sel[si, j, :k] = combos[j]
+            fmask[si, j, :k] = 1.0
+            tmask[si, j] = 1.0
+    return {'sel': sel, 'frame_mask': fmask, 'token_mask': tmask,
+            'scales': scales, 'E': E, 'K': K, 'num_inputs': num_inputs}
+
+
+def mstrn_expert_params(msr_params, spec):
+    """Stack + zero-pad the per-scale Relation MLPs to one (E, ...) pytree.
+
+    ``msr_params``: the ``temporal_relation`` subtree of a TRN's params —
+    ``{'relations.{si}': {'relate.1': {kernel,bias}, 'relate.3': ...}}``.
+    Traceable (pure jnp), so it can run inside the jitted forward with
+    variables as an argument."""
+    E, n = spec['E'], spec['num_inputs']
+    k0 = spec['scales'][0]
+    r0 = msr_params['relations.0']['relate.1']['kernel']
+    d = r0.shape[0] // k0
+    bott = r0.shape[1]
+    out = msr_params['relations.0']['relate.3']['kernel'].shape[1]
+    w1 = jnp.zeros((E, n * d, bott), r0.dtype)
+    b1 = jnp.zeros((E, bott), r0.dtype)
+    w2 = jnp.zeros((E, bott, out), r0.dtype)
+    b2 = jnp.zeros((E, out), r0.dtype)
+    for si, k in enumerate(spec['scales']):
+        p = msr_params[f'relations.{si}']
+        w1 = w1.at[si, :k * d].set(p['relate.1']['kernel'])
+        b1 = b1.at[si].set(p['relate.1']['bias'])
+        w2 = w2.at[si].set(p['relate.3']['kernel'])
+        b2 = b2.at[si].set(p['relate.3']['bias'])
+    return {'w1': w1, 'b1': b1, 'w2': w2, 'b2': b2}
+
+
+def mstrn_expert_apply(stacked, spec, feats, mesh: Optional[Mesh] = None,
+                       expert_axis: str = 'expert'):
+    """Expert-parallel MultiScaleRelation forward.
+
+    ``feats``: (B, n, d) per-frame features -> (B, out), equal to the dense
+    module's deterministic forward. Each expert's padded token block
+    (K combination-concats per video) is sharding-constrained onto the
+    mesh's expert axis, so device e runs only its local scales' MLPs; the
+    combine is a masked sum (invalid tokens would otherwise leak the MLP's
+    bias response to a zero input)."""
+    B, n, d = feats.shape
+    sel = jnp.asarray(spec['sel'])
+    fmask = jnp.asarray(spec['frame_mask'], feats.dtype)
+    tmask = jnp.asarray(spec['token_mask'], jnp.float32)
+    E, K = tmask.shape
+    g = jnp.take(feats, sel.reshape(-1), axis=1)          # (B, E*K*n, d)
+    g = g.reshape(B, E, K, n, d) * fmask[None, :, :, :, None]
+    x = jnp.transpose(g, (1, 2, 0, 3, 4)).reshape(E, K * B, n * d)
+    if mesh is not None and mesh.shape.get(expert_axis, 1) > 1:
+        sh = NamedSharding(mesh, P(expert_axis))
+        x = jax.lax.with_sharding_constraint(x, sh)
+        stacked = jax.tree_util.tree_map(
+            lambda l: jax.lax.with_sharding_constraint(l, sh), stacked)
+    h = jax.nn.relu(x)
+    h = jax.nn.relu(jnp.einsum('etd,edh->eth', h, stacked['w1'])
+                    + stacked['b1'][:, None])
+    y = jnp.einsum('eth,eho->eto', h, stacked['w2']) + stacked['b2'][:, None]
+    y = y.reshape(E, K, B, -1) * tmask[:, :, None, None].astype(y.dtype)
+    return jnp.sum(y, axis=(0, 1))                         # (B, out)
+
+
+def trn_expert_forward(model, mesh: Optional[Mesh] = None,
+                       expert_axis: str = 'expert'):
+    """Full TRN eval forward with the MSTRN head expert-sharded.
+
+    Returns ``(fwd, spec)`` where ``fwd(variables, clips) -> logits``
+    matches ``model.module.apply(variables, clips)`` (deterministic
+    combination path, eval dropout). The expert count is padded up to a
+    multiple of the mesh's expert axis automatically."""
+    module = model.module
+    if module.consensus != 'MSTRN':
+        raise ValueError(f'expert-parallel head supports MSTRN, '
+                         f'got {module.consensus}')
+    n = module.num_segments
+    pad_to = None
+    if mesh is not None and mesh.shape.get(expert_axis, 1) > 1:
+        ax = mesh.shape[expert_axis]
+        pad_to = -(-(n - 1) // ax) * ax
+    spec = mstrn_expert_spec(n, pad_experts_to=pad_to)
+    base = module.base_module
+
+    def fwd(variables, clips):
+        b = clips.shape[0]
+        frames = clips.reshape((-1,) + clips.shape[2:])
+        base_vars = {c: v['base_module'] for c, v in variables.items()
+                     if 'base_module' in v}
+        feats = base.apply(base_vars, frames, mode='forward', head=False,
+                           train=False)
+        feats = feats.reshape(b, n, -1)
+        stacked = mstrn_expert_params(
+            variables['params']['temporal_relation'], spec)
+        y = mstrn_expert_apply(stacked, spec, feats, mesh=mesh,
+                               expert_axis=expert_axis)
+        p = variables['params']['last_linear']
+        return y @ p['kernel'] + p['bias']
+
+    return fwd, spec
+
+
 def moe_reference(expert_fn, stacked_params, x, router_w,
                   capacity_factor: float = 1.25):
     """Per-token oracle (plain Python loop; test-sized inputs only)."""

@@ -169,3 +169,34 @@ def test_config4_trn_10clip(tmp_path, capsys):
          '--num-classes', '2', '--frames', '8', '--clips', '10',
          '--size', '32', '--batch-size', '2', '-j', '1'], capsys)
     assert ' * Acc@1 ' in out, out
+
+
+def test_config5_biggan_fixed_seed_golden():
+    """BASELINE config 5 (BigGAN class-conditional 256px sampling): a
+    fixed-seed sample is regression-locked against a stored golden
+    (tests/golden/biggan256_sample.npz), the same store/compare idea as
+    configs 3-4's golden logits. No reference checkpoint exists to convert
+    (BigGAN is absent from the reference snapshot, SURVEY §7 step 9), so
+    the lock covers the generator path itself: init PRNG -> conditional
+    class embedding -> CondBN residual upsampling -> SAGAN attention ->
+    tanh image must stay bit-stable across refactors. ch=16 keeps the
+    256px architecture (every block, attention included) at CI cost."""
+    import jax.numpy as jnp
+
+    from pretorched_tpu.gan.biggan import BigGAN
+
+    module = BigGAN(resolution=256, ch=16, num_classes=10)
+    z0 = jnp.zeros((1, module.latent_dim))
+    y0 = jnp.zeros((1,), jnp.int32)
+    variables = module.init(jax.random.key(0), z0, y0)
+    z = jax.random.normal(jax.random.key(1), (2, module.latent_dim))
+    y = jnp.asarray([0, 7], jnp.int32)
+    img = np.asarray(jax.jit(module.apply)(variables, z, y))
+    assert img.shape == (2, 256, 256, 3)
+
+    golden = np.load(os.path.join(REPO, 'tests', 'golden',
+                                  'biggan256_sample.npz'))
+    np.testing.assert_allclose(img[:, ::16, ::16, :], golden['slice'],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(img.mean(), golden['mean'], atol=1e-6)
+    np.testing.assert_allclose(img.std(), golden['std'], atol=1e-6)

