@@ -280,7 +280,13 @@ def main():
         variables = model.variables
         tx = optax.sgd(0.1, momentum=0.9)
         accum = int(os.environ.get('BENCH_TRAIN_ACCUM', '1'))
-        remat = bool(int(os.environ.get('BENCH_TRAIN_REMAT', '0')))
+        # '0'/'1' = off/all-blocks; 's0' / 's0,1' = selective remat of only
+        # those stages' blocks (0=stem+layer1 .. 3=layer4)
+        remat_env = os.environ.get('BENCH_TRAIN_REMAT', '0')
+        if remat_env.startswith('s'):
+            remat = tuple(int(i) for i in remat_env[1:].split(','))
+        else:
+            remat = bool(int(remat_env))
         step = make_train_step(module, tx, accum_steps=accum, remat=remat)
         iters = max(ITERS // 2, 5)
         # v5e sweep (ROUND_NOTES r2): b64 177, b128 226.8 clips/s, b192 OOM;
@@ -349,7 +355,7 @@ def main():
             'metric': (f'resnet3d50 {FRAMES}f{SIZE}px bf16-compute SGD train '
                        f'step clips/sec/chip (donated buffers'
                        + (f', accum x{accum}' if accum > 1 else '')
-                       + (', remat' if remat else '') + ')'),
+                       + (f', remat={remat_env}' if remat else '') + ')'),
             'value': round(clips_s, 2), 'unit': 'clips/s', 'batch': batch,
             'gflops_per_clip': round(flops_step / batch / 1e9, 1),
             'mfu': round(flops_step / batch * clips_s / V5E_BF16_PEAK_FLOPS,

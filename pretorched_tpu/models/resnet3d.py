@@ -92,7 +92,9 @@ class VideoResNet(nn.Module):
     preact: bool = False
     factored: bool = False        # R(2+1)D spatio-temporal conv factorization
     s2d_stem: bool = False        # fold the stride-(1,2,2) stem via space-to-depth
-    remat: bool = False           # checkpoint each residual block (long-clip training)
+    remat: Any = False            # True = checkpoint every residual block;
+    #                               a tuple of stage idxs (0=layer1..3=layer4)
+    #                               remats only those stages (selective)
     dtype: Any = None
 
     # ------------------------------------------------------------------ convs
@@ -205,7 +207,19 @@ class VideoResNet(nn.Module):
             identity = self._downsample(x, out_ch, stride, prefix, train)
         return relu(out + identity)
 
-    def _block_fn(self):
+    def _remat_stages(self):
+        """Stages (0-based: layer1..layer4) whose blocks rematerialize.
+        ``remat=True`` -> all four; a tuple like ``(0,)`` -> selective
+        remat of only those stages' blocks (e.g. stem+layer1, the stage the
+        r4 grad roofline charged with the worst bwd roofline% — recompute
+        only where the activation working set is largest)."""
+        if self.remat is True:
+            return (0, 1, 2, 3)
+        if not self.remat:
+            return ()
+        return tuple(self.remat)
+
+    def _block_fn(self, rematted: bool = False):
         """The residual-block function, optionally rematerialized per block:
         backprop then stores only block INPUTS and recomputes each block's
         interior (~4/3x FLOPs for ~a block's depth less activation HBM) —
@@ -214,7 +228,7 @@ class VideoResNet(nn.Module):
         materializes every intermediate at once."""
         raw = (type(self)._basic if self.block == 'basic'
                else type(self)._bottleneck)
-        if self.remat:
+        if rematted:
             raw = nn.remat(raw, static_argnums=(2, 3, 4, 5, 6))
         return raw.__get__(self)
 
@@ -229,7 +243,10 @@ class VideoResNet(nn.Module):
         default) is the full forward; composing the four slices is
         numerically identical to it (same modules, same order)."""
         lo, hi = (0, 4) if stage_slice is None else stage_slice
-        block_fn = self._block_fn()
+        remat_stages = self._remat_stages()
+        block_fns = {False: self._block_fn(False)}
+        if remat_stages:
+            block_fns[True] = self._block_fn(True)
         if mode in ('forward', 'features'):
             if lo == 0:
                 if self.s2d_stem and not self.factored:
@@ -251,8 +268,9 @@ class VideoResNet(nn.Module):
                     s = stride if i == 0 else 1
                     down = s != 1 or inplanes != planes * self.expansion
                     if lo <= stage - 1 < hi:
-                        x = block_fn(x, planes, s, down, f'layer{stage}.{i}',
-                                     train)
+                        fn = block_fns[stage - 1 in remat_stages]
+                        x = fn(x, planes, s, down, f'layer{stage}.{i}',
+                               train)
                     inplanes = planes * self.expansion
             if mode == 'features' or hi < 4:
                 return x

@@ -50,10 +50,14 @@ class SENet(nn.Module):
     downsample_padding: int = 1
     num_classes: int = 1000
     dtype: Any = None
+    se_identity: bool = False     # ablation: bypass every SE gate (profiling
+    #                               A/B for fusion evidence; tools/roofline)
 
     def _se(self, x, channels, prefix, train):
         """Squeeze-excite: the channel attention the reference applies before
         every residual add (senet.py:85-105, 128-130)."""
+        if self.se_identity:
+            return x
         dt = self.dtype
         s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
         s = conv2d(channels // self.reduction, 1, name=f'{prefix}.fc1', dtype=dt)(s)

@@ -221,6 +221,45 @@ def test_train_step_block_remat_matches_plain(family):
             == jax.tree_util.tree_structure(variables))
 
 
+def test_train_step_selective_remat_matches_plain():
+    """Selective remat (remat=(0,): stem+layer1 blocks only — the stage the
+    r4 grad roofline charged with the worst bwd roofline%) is numerically
+    identical to the plain step and builds the same param tree."""
+    import dataclasses
+
+    from pretorched_tpu.models.resnet3d import VideoResNet
+    module = VideoResNet(block='bottleneck', layers=(1, 1, 1, 1),
+                         num_classes=6)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 8, 32, 32, 3),
+                    jnp.float32)
+    variables = dict(module.init(jax.random.key(0), x))
+    labels = jnp.asarray(np.arange(2) % 6)
+    a = _train_losses(module, variables, x, labels, False)
+    b = _train_losses(module, variables, x, labels, (0,))
+    np.testing.assert_allclose(b, a, rtol=1e-6)
+    ms = dataclasses.replace(module, remat=(0, 2))
+    vs = dict(ms.init(jax.random.key(0), x))
+    assert (jax.tree_util.tree_structure(vs)
+            == jax.tree_util.tree_structure(variables))
+
+
+def test_senet_se_identity_ablation():
+    """se_identity bypasses every SE gate (profiling A/B) while accepting
+    the full model's variables — outputs differ from the gated forward but
+    share shapes; gated forward equals the plain model."""
+    import dataclasses
+
+    m = p.se_resnext50_32x4d(num_classes=7, pretrained=None).eval()
+    # 224px: the SENet head pools a fixed 7x7 window (senet.py:129-130)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 224, 224, 3),
+                    jnp.float32)
+    y_on = m.module.apply(m.variables, x)
+    mod_off = dataclasses.replace(m.module, se_identity=True)
+    y_off = mod_off.apply(m.variables, x)     # extra SE params tolerated
+    assert y_on.shape == y_off.shape == (1, 7)
+    assert not np.allclose(np.asarray(y_on), np.asarray(y_off))
+
+
 @pytest.mark.skipif(not os.environ.get('PRETORCHED_TEST_SLOW'),
                     reason='slow: big-model param-count checks')
 def test_published_param_counts():

@@ -270,6 +270,124 @@ def main():
               f'({(t_sf - t_s - t_f) / t_sf * 100:.0f}% of sf), '
               f'{(f_sf - f_s - f_f) / 1e9:.0f} GFLOP')
 
+    def timed_chain(apply_fn, variables, x, iters, tag):
+        """Python-chained timing for graphs whose scan form breaks the
+        tunnel's remote compile (MSTRN, bench.py r3 note): one jitted call
+        returning (carried input, scalar), iterated from Python; the final
+        device_get chains every step through data dependencies."""
+        @jax.jit
+        def one(v, c):
+            out = apply_fn(v, c)
+            s = jnp.sum(out.astype(jnp.float32))
+            return c + (s * 0).astype(c.dtype), s
+
+        t0 = time.perf_counter()
+        c, s = one(variables, x)
+        jax.device_get(s)
+        print(f'# {tag} compile+first: {time.perf_counter() - t0:.1f}s',
+              flush=True)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c, s = one(variables, c)
+        jax.device_get(s)
+        return (time.perf_counter() - t0) / iters
+
+    # ---------------------------------------------------- SE excitation
+    # Fusion evidence for the squeeze-excite gates (VERDICT r4 #6): A/B the
+    # FULL se_resnext50_32x4d graph against the identical graph with every
+    # SE gate bypassed (se_identity). If the measured delta is close to the
+    # SE ops' own roofline time (they are tiny: global pool + two 1x1 convs
+    # + sigmoid-scale per block), the gates are fusion-resident — XLA keeps
+    # them inside the surrounding conv fusions rather than spilling extra
+    # HBM round trips.
+    if 'senet' in sections:
+        m = pretorched.se_resnext50_32x4d(num_classes=1000, pretrained=None)
+        m.bfloat16()
+        img = rand_batch((args.batch, args.size, args.size, 3))
+
+        def fwd_se(v, x):
+            return m.module.apply(v, x)
+
+        mod_off = dataclasses.replace(m.module, se_identity=True)
+
+        def fwd_off(v, x):
+            return mod_off.apply(v, x)
+
+        t_on = timed_scan(fwd_se, m.variables, img, args.iters,
+                          f'se_resnext50 SE-on b{args.batch}')
+        f_on, b_on = cost_flops(fwd_se, m.variables, img)
+        t_off = timed_scan(fwd_off, m.variables, img, args.iters,
+                           f'se_resnext50 SE-off b{args.batch}')
+        f_off, b_off = cost_flops(fwd_off, m.variables, img)
+        dt, df, db = t_on - t_off, f_on - f_off, b_on - b_off
+        t_roof = max(df / V5E_BF16_PEAK_FLOPS, db / V5E_HBM_GBPS)
+        print(f'\n### se_resnext50_32x4d SE-gate fusion evidence '
+              f'(b{args.batch} {args.size}px bf16)\n')
+        print('| graph | ms/iter | GFLOP | GB | MFU |')
+        print('|---|---|---|---|---|')
+        for name, t, f, bts in (('SE on (full model)', t_on, f_on, b_on),
+                                ('SE bypassed', t_off, f_off, b_off)):
+            print(f'| {name} | {t * 1e3:.1f} | {f / 1e9:.0f} | '
+                  f'{bts / 1e9:.1f} | '
+                  f'{f / t / V5E_BF16_PEAK_FLOPS * 100:.1f}% |')
+        print(f'| **SE delta** | **{dt * 1e3:.2f}** | **{df / 1e9:.1f}** | '
+              f'**{db / 1e9:.2f}** | roofline time '
+              f'**{t_roof * 1e3:.2f} ms** ({dt / max(t_roof, 1e-12):.1f}x) |')
+        print(f'\nSE gates cost {dt / t_on * 100:.1f}% of the forward for '
+              f'{df / f_on * 100:.2f}% of its FLOPs; delta vs own-roofline '
+              f'{dt / max(t_roof, 1e-12):.1f}x.', flush=True)
+        del m, img
+        gc.collect()
+
+    # ------------------------------------------------ TRN relation MLPs
+    # Fusion evidence for the MSTRN relation heads: full TRN forward minus
+    # the per-frame backbone on the same frame count isolates what the 7
+    # relation MLPs + subset gathers + classifier add to the graph; compare
+    # that delta to the head ops' own roofline time.
+    if 'trn' in sections:
+        tb = 64
+        trn_m = pretorched.trn(num_classes=400, num_segments=8,
+                               consensus='MSTRN', arch='resnet50',
+                               pretrained=None)
+        trn_m.bfloat16()
+        clip = rand_batch((tb, 8, args.size, args.size, 3))
+        frames = clip.reshape((tb * 8,) + clip.shape[2:])
+        base = trn_m.module.base_module
+        base_vars = {c: t['base_module'] for c, t in trn_m.variables.items()
+                     if 'base_module' in t}
+
+        def fwd_full(v, c):
+            return trn_m.module.apply(v, c)
+
+        def fwd_bb(v, fr):
+            return base.apply(v, fr, mode='forward', head=False)
+
+        t_full = timed_chain(fwd_full, trn_m.variables, clip, args.iters,
+                             f'trn MSTRN full b{tb}')
+        f_full, b_full = cost_flops(fwd_full, trn_m.variables, clip)
+        t_bb = timed_chain(fwd_bb, base_vars, frames, args.iters,
+                           f'trn backbone-only b{tb}x8 frames')
+        f_bb, b_bb = cost_flops(fwd_bb, base_vars, frames)
+        dt, df, db = t_full - t_bb, f_full - f_bb, b_full - b_bb
+        t_roof = max(df / V5E_BF16_PEAK_FLOPS, db / V5E_HBM_GBPS)
+        print(f'\n### TRN MSTRN relation-head fusion evidence '
+              f'(resnet50 backbone, b{tb} x 8 seg {args.size}px bf16)\n')
+        print('| graph | ms/iter | GFLOP | GB | MFU |')
+        print('|---|---|---|---|---|')
+        for name, t, f, bts in (('full TRN (backbone+head)', t_full, f_full,
+                                 b_full),
+                                ('backbone only (512 frames)', t_bb, f_bb,
+                                 b_bb)):
+            print(f'| {name} | {t * 1e3:.1f} | {f / 1e9:.0f} | '
+                  f'{bts / 1e9:.1f} | '
+                  f'{f / t / V5E_BF16_PEAK_FLOPS * 100:.1f}% |')
+        print(f'| **head delta** | **{dt * 1e3:.2f}** | **{df / 1e9:.1f}** '
+              f'| **{db / 1e9:.2f}** | roofline time '
+              f'**{t_roof * 1e3:.2f} ms** ({dt / max(t_roof, 1e-12):.1f}x) |')
+        print(f'\nrelation head costs {dt / t_full * 100:.1f}% of the '
+              f'forward for {df / f_full * 100:.2f}% of its FLOPs; delta vs '
+              f'own-roofline {dt / max(t_roof, 1e-12):.1f}x.', flush=True)
+
     print('\n# done', flush=True)
 
 
