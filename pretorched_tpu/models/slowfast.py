@@ -36,6 +36,9 @@ class SlowFast(nn.Module):
     slow_stride: int = 16
     fast_stride: int = 2
     s2d_stem: bool = False        # fold both pathways' stride-(1,2,2) stems
+    fused_blocks: int = 0         # eval-only Pallas fused bottleneck tails
+    #                               for stride-1 blocks with planes <= this
+    #                               (the C<=32 HBM-bound fast pathway; 0=off)
     dtype: Any = None
 
     @property
@@ -65,6 +68,41 @@ class SlowFast(nn.Module):
                        dtype=self.dtype)(x)
         return relu(x) if act else x
 
+    def _fused_tail(self, y1, x, down, prefix):
+        """Eval-only Pallas fused bottleneck tail (ops/pallas/fused_block):
+        conv2(1,3,3)+bn2+relu -> conv3+bn3 -> +residual -> relu in ONE
+        kernel, y2/y3 never touching HBM. BN folded to affine from the
+        running stats read directly off this scope's variable tree (the
+        flat torch-style naming makes the subtrees addressable)."""
+        import jax
+
+        from ..ops.pallas.fused_block import fold_bn, fused_bottleneck_tail
+
+        def g(n, col='params'):
+            return self.get_variable(col, f'{prefix}.{n}')
+
+        def folded(n):
+            p, s = g(n), g(n, 'batch_stats')
+            return jnp.stack(fold_bn(p['scale'], p['bias'],
+                                     s['mean'], s['var']))
+
+        w2 = g('conv2')['kernel'][0]                  # (3,3,Cm,Cm)
+        w3 = g('conv3')['kernel'][0, 0, 0]            # (Cm,Cout)
+        wp = ap = None
+        if down:
+            wp = g('downsample.0')['kernel'][0, 0, 0]
+            ap = folded('downsample.1')
+        return fused_bottleneck_tail(
+            y1, x, w2, folded('bn2'), w3, folded('bn3'), wp, ap,
+            interpret=jax.default_backend() != 'tpu')
+
+    def _can_fuse(self, planes, stride, train, prefix):
+        return (self.fused_blocks and planes <= self.fused_blocks
+                and stride == 1 and not train and self.block != 'basic'
+                and not self.is_initializing()
+                and self.get_variable('params', f'{prefix}.conv2')
+                is not None)
+
     def _block(self, x, planes, stride, down, prefix, head_conv, train):
         identity = x
         dt = self.dtype
@@ -90,6 +128,8 @@ class SlowFast(nn.Module):
                 out = conv3d(planes, (3, 1, 1), padding=(1, 0, 0), bias=False,
                              name=f'{prefix}.conv1', dtype=dt)(x)
             out = relu(batch_norm(train=train, name=f'{prefix}.bn1', dtype=dt)(out))
+            if self._can_fuse(planes, stride, train, prefix):
+                return self._fused_tail(out, x, down, prefix)
             out = conv3d(planes, (1, 3, 3), stride=(1, stride, stride),
                          padding=(0, 1, 1), bias=False, name=f'{prefix}.conv2',
                          dtype=dt)(out)
