@@ -1,6 +1,23 @@
 """Fused bottleneck-tail Pallas kernel for narrow-channel (C<=64) pathways.
 
-Why this exists (r4 roofline, ROUND_NOTES "Roofline decompositions"):
+**Measured verdict (r5, v5e, full-graph per the r3 rule): NEGATIVE — kept
+in-tree as evidence.** The kernel is exact (on-chip maxdiff 0.0 vs the XLA
+oracle) and moves 2-3x fewer HBM bytes than XLA's per-conv schedule, but
+its runtime is 4-15x its own bytes-roofline: on a 128-lane machine a
+channels-last C=8 buffer is LANE-PADDED 16x in VMEM, so every VPU pass
+(padding, affine, relu, residual add) runs at 1/16 throughput, and the
+padded footprint caps the grid tile at tt=1 (4096 pipeline steps/block).
+SlowFast fast pathway b128 T32 224px: fusing res2 costs +33 ms/block vs
+XLA's ~5 (16x pad), res3 +22 (8x), res4 +10 vs ~1.7 (4x) — the loss halves
+exactly as the padding halves, extrapolating to a still-3x loss at the 2x
+padding of C=64. Escaping the padding requires either channels-in-sublanes
+transposes (2 extra HBM passes per tensor — more than the fusion saves) or
+FLOP-inflating folded layouts (the r4 fold studies measured those negative
+in XLA for the same reason). Conclusion in ROUND_NOTES r5: the fast
+pathway's 51-72%-of-roofline at perfect-fusion bytes is the hardware
+ceiling for C<=32 channels-last blocks, not a missing kernel.
+
+Why this was built (r4 roofline, ROUND_NOTES "Roofline decompositions"):
 SlowFast's fast pathway runs at 4-15% MFU, HBM-bound at 51-72% of a
 *perfect-fusion-bytes* roofline — the residual gap is per-conv HBM write+read
 of block intermediates, which no XLA schedule removes because conv outputs
@@ -89,11 +106,19 @@ def _kernel(y1_ref, xr_ref, w2_ref, a2_ref, w3_ref, a3_ref, out_ref,
 
 
 def _pick_tile(bt: int, h: int, w: int, cm: int, cout: int,
-               itemsize: int = 2, budget: int = 6 * 2 ** 20) -> int:
-    """Largest Tt dividing bt whose tile working set fits ``budget`` bytes
-    (inputs + padded copy + output + f32 accumulators; double buffering and
-    Mosaic slack live in the remaining VMEM)."""
-    per_t = h * w * (cm * 3 * itemsize + cout * 2 * itemsize + (cm + cout) * 4)
+               itemsize: int = 2, budget: int = 8 * 2 ** 20) -> int:
+    """Largest Tt dividing bt whose tile working set fits ``budget`` bytes.
+
+    VMEM stores the trailing dim in 128-wide lanes, so a C<32 channel dim
+    is LANE-PADDED — a (..., 8) bf16 buffer occupies 16x its real bytes.
+    The budget must be computed on padded footprints (measured the hard
+    way: the real-bytes estimate compiled a 30 MB stack at C_mid=8 and the
+    Mosaic scoped-vmem allocator rejected it). Counted per t-row: ~4 live
+    C_mid-wide buffers (y1, padded y1, tap view, y2) at itemsize + the f32
+    conv2 accumulator, and ~3 C_out-wide (x_res, y3 f32, out)."""
+    lane = 128
+    pm, po = max(cm, lane), max(cout, lane)
+    per_t = h * w * (pm * (4 * itemsize + 4) + po * (2 * itemsize + 8))
     best = 1
     for tt in range(1, bt + 1):
         if bt % tt == 0 and tt * per_t <= budget:
@@ -169,6 +194,11 @@ def fused_bottleneck_tail(y1, x_res, w2, a2, w3, a3,
         out_specs=pl.BlockSpec((tt, h, w, cout), tile_map,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bt, h, w, cout), y1.dtype),
+        # narrow-channel buffers are lane-padded (see _pick_tile); give the
+        # Mosaic allocator most of the v5e's 128 MB instead of its 16 MB
+        # default so the padded stack + pipeline double-buffers fit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20) if not interpret else None,
         interpret=interpret,
     )(*args)
     return out.reshape(b, t, h, w, cout)

@@ -27,7 +27,10 @@ def main():
     p.add_argument('--frames', type=int, default=64)
     p.add_argument('--size', type=int, default=224)
     p.add_argument('--iters', type=int, default=10)
-    p.add_argument('--thresholds', default='0,32,64')
+    # consecutive thresholds isolate each fast stage's contribution in the
+    # FULL graph: <=8 fuses res2 only, <=16 +res3, <=32 +res4, <=64 +res5
+    # (and slow res2 in sf mode)
+    p.add_argument('--thresholds', default='0,8,16,32,64')
     p.add_argument('--modes', default='f,sf')
     args = p.parse_args()
 
