@@ -105,6 +105,12 @@ def main():
     rows = []
     notes = []
     state = {'headline': None}
+    # BENCH_FLOPS_CHECK=1 audit results: {tag: counted(b)/b1-scaled}.
+    # Measured r5 on chip: resnet3d50 0.8979, slowfast 0.8980, r2plus1d
+    # 0.8411 — the b1-scaled convention (cheap: no real-batch compile per
+    # row) is an UPPER bound on the compiled graph's own count, i.e. the
+    # stamped MFUs are upper bounds by ~11-19% relative (ROUND_NOTES r5).
+    flops_check = {}
 
     def emit():
         """Print the full result JSON line, then a bounded COMPACT summary
@@ -216,6 +222,7 @@ def main():
             ratio = fb / (f1 * b) if f1 else float('nan')
             print(f'# {tag} flops check: b{b} counted / b1-scaled = '
                   f'{ratio:.4f}', file=sys.stderr)
+            flops_check[tag] = round(ratio, 4)
         return f1 * b
 
     rng = np.random.RandomState(0)
@@ -281,8 +288,13 @@ def main():
         tx = optax.sgd(0.1, momentum=0.9)
         accum = int(os.environ.get('BENCH_TRAIN_ACCUM', '1'))
         # '0'/'1' = off/all-blocks; 's0' / 's0,1' = selective remat of only
-        # those stages' blocks (0=stem+layer1 .. 3=layer4)
-        remat_env = os.environ.get('BENCH_TRAIN_REMAT', '0')
+        # those stages' blocks (0=stem+layer1 .. 3=layer4). Default 's0':
+        # rematting ONLY stem+layer1 (the stage with the worst measured bwd
+        # roofline%) shrinks the dominant backward working set enough to
+        # BEAT its own recompute — measured r5 same-session: plain 228.86
+        # -> s0 237.16 clips/s (+3.6%, repeat 237.05); full remat ('1')
+        # measured -7.5% in r4.
+        remat_env = os.environ.get('BENCH_TRAIN_REMAT', 's0')
         if remat_env.startswith('s'):
             remat = tuple(int(i) for i in remat_env[1:].split(','))
         else:
@@ -847,6 +859,8 @@ def main():
             print(f'# {notes[-1]}', file=sys.stderr)
         for r in rows[n_before:]:       # stable short id for the compact
             r.setdefault('name', name)  # summary + cross-round matching
+            if name in flops_check:     # audited counted/b1-scaled ratio
+                r['flops_b_over_b1'] = flops_check[name]
         emit()
         gc.collect()
 
