@@ -145,7 +145,8 @@ def main():
         for r in rows:
             name = r.get('name', 'row')
             summary[name] = [r['value'], r['unit']]
-            for k in ('p50_ms', 'p99_ms', 'link_floor_req_s', 'mfu'):
+            for k in ('p50_ms', 'p99_ms', 'link_floor_req_s',
+                      'link_up_MBps', 'mfu'):
                 if k in r:
                     summary[f'{name}.{k}'] = r[k]
         compact = {k: out[k] for k in ('metric', 'value', 'unit',
@@ -153,7 +154,19 @@ def main():
         compact['summary'] = summary
         compact['notes_n'] = len(notes)
         line = json.dumps(compact)
-        assert len(line) < 1500, (len(line), line[:200])
+        # bounded-size guarantee, degrading gracefully instead of crashing
+        # the run (the whole point of this line is surviving any tail
+        # window; an assert here would lose every remaining row): drop the
+        # dotted detail fields first, then oldest rows' values — the
+        # headline metric/value stay top-level either way.
+        if len(line) >= 1500:
+            compact['summary'] = {k: v for k, v in summary.items()
+                                  if '.' not in k}
+            compact['truncated'] = True
+            line = json.dumps(compact)
+        while len(line) >= 1500 and compact['summary']:
+            compact['summary'].pop(next(iter(compact['summary'])))
+            line = json.dumps(compact)
         print(line, flush=True)
 
     def timed_scan(apply_fn, variables, x, iters, tag):
@@ -681,7 +694,16 @@ def main():
         n_req = int(os.environ.get('BENCH_SERVE_REQUESTS', '256'))
         n_cli = int(os.environ.get('BENCH_SERVE_CLIENTS', '8'))
         n_res = int(os.environ.get('BENCH_SERVE_RESOLVERS', '1'))
-        modes = os.environ.get('BENCH_SERVE_MODES', 'f32,u8,jpeg').split(',')
+        modes = [m.strip() for m in
+                 os.environ.get('BENCH_SERVE_MODES', 'f32,u8,jpeg').split(',')]
+        unknown = [m for m in modes if m not in ('f32', 'u8', 'jpeg')]
+        if unknown:
+            # an unrecognized token must not silently run zero modes — the
+            # missing rows would only surface as DROPPED in a later
+            # cross-round diff
+            notes.append(f'serving: unknown BENCH_SERVE_MODES {unknown} '
+                         f"(valid: f32,u8,jpeg)")
+            print(f'# {notes[-1]}', file=sys.stderr)
         shape = (SIZE, SIZE, 3)
         # context for the latency numbers: one tiny device->host round trip
         # (a request can never resolve faster than this on the axon tunnel)
@@ -756,12 +778,19 @@ def main():
             p50, p99 = np.percentile(np.asarray(lat) * 1000, [50, 99])
             return n_req / wall, p50, p99
 
-        def report(tag, name, req_bytes, reqs, p50, p99, srv, extra=()):
+        def report(tag, name, req_bytes, reqs, p50, p99, srv, extra=(),
+                   key_tag=''):
             rows.append(dict({
-                'metric': (f'serving loadtest resnet50 {SIZE}px bf16 '
-                           f'{tag} payload ({n_cli} clients, max_batch '
-                           f'{max_batch}, {n_res} resolvers, dynamic pow2 '
-                           f'bucketing) req/sec'),
+                # row_key strips parenthesized config notes, so what sits
+                # outside the parens is the row's cross-round identity: the
+                # f32 row keeps the pre-r5 metric key (it IS the same
+                # measurement, so old artifacts without a 'name' field
+                # still match it), while u8/jpeg carry a key_tag so they
+                # never mis-match a pre-r5 f32 row
+                'metric': (f'serving loadtest{key_tag} resnet50 {SIZE}px '
+                           f'bf16 ({tag} payload, {n_cli} clients, '
+                           f'max_batch {max_batch}, {n_res} resolvers, '
+                           f'dynamic pow2 bucketing) req/sec'),
                 'name': name,
                 'value': round(reqs, 2), 'unit': 'req/s',
                 'p50_ms': round(float(p50), 1),
@@ -788,7 +817,7 @@ def main():
                 reqs, p50, p99 = loadtest(srv, u8_256, (256, 256, 3),
                                           np.uint8, 'u8')
             report('uint8 256px', 'serving_u8', 256 * 256 * 3,
-                   reqs, p50, p99, srv)
+                   reqs, p50, p99, srv, key_tag=' uint8')
             emit()
         if 'jpeg' in modes:
             with serve_model(model, max_batch=max_batch, max_wait_ms=2.0,
@@ -797,7 +826,7 @@ def main():
                 reqs, p50, p99 = loadtest(srv, jpeg_bytes, (256, 256, 3),
                                           np.uint8, 'jpeg')
             report('jpeg-encoded', 'serving_jpeg', len(jpeg_bytes),
-                   reqs, p50, p99, srv,
+                   reqs, p50, p99, srv, key_tag=' jpeg',
                    extra={'host_decode_ms': round(decode_ms, 2)})
 
     # -------------- 12. BigGAN-256 conditional sampling (BASELINE config 5)

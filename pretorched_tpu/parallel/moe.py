@@ -221,7 +221,16 @@ def trn_expert_forward(model, mesh: Optional[Mesh] = None,
     Returns ``(fwd, spec)`` where ``fwd(variables, clips) -> logits``
     matches ``model.module.apply(variables, clips)`` (deterministic
     combination path, eval dropout). The expert count is padded up to a
-    multiple of the mesh's expert axis automatically."""
+    multiple of the mesh's expert axis automatically.
+
+    ``fwd`` accepts an optional third argument ``stacked``: the
+    pre-stacked expert pytree from ``mstrn_expert_params(
+    variables['params']['temporal_relation'], spec)``. Without it the
+    stack+zero-pad runs inside every call — exact, but it materializes the
+    padded (E, n*d, bottleneck) kernel in HBM per forward (~0.5 GB for the
+    8-segment resnet50 head; XLA cannot hoist it because ``variables`` is
+    a runtime argument). Production callers should precompute it once and
+    pass it as a jit argument alongside ``variables``."""
     module = model.module
     if module.consensus != 'MSTRN':
         raise ValueError(f'expert-parallel head supports MSTRN, '
@@ -234,7 +243,7 @@ def trn_expert_forward(model, mesh: Optional[Mesh] = None,
     spec = mstrn_expert_spec(n, pad_experts_to=pad_to)
     base = module.base_module
 
-    def fwd(variables, clips):
+    def fwd(variables, clips, stacked=None):
         b = clips.shape[0]
         frames = clips.reshape((-1,) + clips.shape[2:])
         base_vars = {c: v['base_module'] for c, v in variables.items()
@@ -242,8 +251,9 @@ def trn_expert_forward(model, mesh: Optional[Mesh] = None,
         feats = base.apply(base_vars, frames, mode='forward', head=False,
                            train=False)
         feats = feats.reshape(b, n, -1)
-        stacked = mstrn_expert_params(
-            variables['params']['temporal_relation'], spec)
+        if stacked is None:
+            stacked = mstrn_expert_params(
+                variables['params']['temporal_relation'], spec)
         y = mstrn_expert_apply(stacked, spec, feats, mesh=mesh,
                                expert_axis=expert_axis)
         p = variables['params']['last_linear']

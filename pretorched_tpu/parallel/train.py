@@ -69,8 +69,7 @@ def make_train_step(module, tx: optax.GradientTransformation, mesh=None,
     if remat and any(f.name == 'remat' for f in dataclasses.fields(module)):
         # pass through as-is: True (all blocks) or a tuple of stage indices
         # (selective remat, e.g. (0,) = stem+layer1 only)
-        module = dataclasses.replace(
-            module, remat=remat if remat is not True else True)
+        module = dataclasses.replace(module, remat=remat)
         remat = False
 
     def loss_fn(params, batch_stats, x, labels, rng):

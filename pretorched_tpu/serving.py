@@ -525,6 +525,21 @@ def serve_model(model, *, mode: str = 'forward', max_batch: int = 64,
                     '(frames, 256, 256, 3)')
             short = int(np.floor(max(spec[0]) / spec[5]))  # crop/scale
             decode_shape = (short, short, 3)
+        # these payloads pin the served signature to decode_shape/uint8; a
+        # conflicting explicit example_shape/example_dtype must fail HERE,
+        # not be silently overwritten (the caller's preprocessed-tensor
+        # traffic would otherwise be rejected at runtime)
+        if example_shape is not None \
+                and tuple(example_shape) != tuple(decode_shape):
+            raise ValueError(
+                f'payload={payload!r} pins the served signature to '
+                f'decode_shape {tuple(decode_shape)}; got conflicting '
+                f'example_shape {tuple(example_shape)} — pass decode_shape= '
+                f'instead')
+        if example_dtype is not None and np.dtype(example_dtype) != np.uint8:
+            raise ValueError(
+                f'payload={payload!r} serves uint8 requests; got '
+                f'example_dtype {np.dtype(example_dtype)}')
         example_shape = tuple(decode_shape)
         example_dtype = np.uint8
 

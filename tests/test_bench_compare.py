@@ -91,6 +91,23 @@ def test_link_drift_suppresses_serving_regression():
     assert {r[0] for r in regs} == {'serving', 'serving.p99_ms'}
 
 
+def test_link_drift_falls_back_to_floor_field():
+    """The bounded compact line drops link_up_MBps but keeps
+    link_floor_req_s; at fixed request bytes the floor ratio IS the link
+    ratio, so drift suppression must still engage against compact-derived
+    baselines (the driver's BENCH_r{N}.json holds exactly that form)."""
+    old = [{'metric': 'serving req/sec', 'name': 'serving', 'value': 47.7,
+            'unit': 'req/s', 'p99_ms': 225.0, 'link_floor_req_s': 59.2}]
+    new = [{'metric': 'serving req/sec', 'name': 'serving', 'value': 17.0,
+            'unit': 'req/s', 'p99_ms': 700.0, 'link_floor_req_s': 21.0}]
+    regs, lines = bench_compare.compare(old, new, 0.10)
+    assert regs == []
+    assert any('LINKDRIFT' in ln for ln in lines)
+    new[0]['link_floor_req_s'] = 58.0     # stable link: real regression
+    regs, _ = bench_compare.compare(old, new, 0.10)
+    assert {r[0] for r in regs} == {'serving', 'serving.p99_ms'}
+
+
 def test_loads_compact_summary_line(tmp_path):
     """The bounded final line bench prints (summary map, no rows) must be
     loadable — it is all the driver's tail window is guaranteed to hold."""

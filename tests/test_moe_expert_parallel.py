@@ -186,6 +186,28 @@ def test_trn_expert_forward_full_model(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_trn_expert_forward_precomputed_stack(rng):
+    """fwd(variables, clips, stacked) with the expert stack precomputed
+    once (the production path — avoids re-stacking ~n*d*bottleneck per
+    call) is bit-identical to the default per-call stacking path."""
+    import pretorched_tpu
+    from pretorched_tpu.parallel.moe import (
+        mstrn_expert_params, trn_expert_forward)
+
+    model = pretorched_tpu.trn(num_classes=7, num_segments=4,
+                               consensus='MSTRN', arch='resnet18',
+                               pretrained=None,
+                               frame_bottleneck_dim=16,
+                               video_feature_dim=8).eval()
+    clips = jnp.asarray(rng.randn(2, 4, 64, 64, 3), jnp.float32)
+    fwd, spec = trn_expert_forward(model)
+    y_default = jax.jit(fwd)(model.variables, clips)
+    stacked = mstrn_expert_params(
+        model.variables['params']['temporal_relation'], spec)
+    y_pre = jax.jit(fwd)(model.variables, clips, stacked)
+    np.testing.assert_array_equal(np.asarray(y_default), np.asarray(y_pre))
+
+
 def test_dispatch_positions_respect_capacity():
     # 6 tokens all to expert 0, capacity 2 -> exactly 2 kept at slots 0,1
     logits = jnp.tile(jnp.asarray([[5.0, 0.0]]), (6, 1))

@@ -299,6 +299,25 @@ def test_serving_uint8_payload(rng):
             srv2.close()
 
 
+def test_serving_uint8_payload_rejects_conflicting_signature():
+    """uint8/jpeg payloads pin the served signature to decode_shape; a
+    conflicting explicit example_shape/example_dtype must raise at
+    construction instead of being silently overwritten (the caller's
+    traffic would otherwise be rejected at runtime)."""
+    model = pretorched_tpu.resnet18(num_classes=5, pretrained=None).eval()
+    with pytest.raises(ValueError, match='decode_shape'):
+        serve_model(model, payload='uint8', example_shape=(224, 224, 3))
+    with pytest.raises(ValueError, match='uint8'):
+        serve_model(model, payload='uint8', example_dtype=np.float32)
+    # a MATCHING explicit signature is fine (harmless redundancy)
+    srv = serve_model(model, payload='uint8', example_shape=(256, 256, 3),
+                      example_dtype=np.uint8)
+    try:
+        assert srv._example_shape == (256, 256, 3)
+    finally:
+        srv.close()
+
+
 def test_serving_jpeg_payload(rng):
     """payload='jpeg': encoded bytes in, logits out; oracle is the same
     decode (datasets.native) + fused preprocess + forward offline."""

@@ -105,11 +105,17 @@ _LINK_FIELDS = ('tunnel_rtt_ms', 'link_up_MBps', 'link_floor_req_s')
 def _link_drift(orow, nrow) -> bool:
     """True when the two rows were measured under very different tunnel
     uplinks (the axon link varies ~5x between sessions, CLAUDE r4) — their
-    serving throughput/latency deltas are link noise, not code."""
-    if 'link_up_MBps' not in orow or 'link_up_MBps' not in nrow:
-        return False
-    lo, ln = float(orow['link_up_MBps']), float(nrow['link_up_MBps'])
-    return max(lo, ln) / max(min(lo, ln), 1e-9) > 1.5
+    serving throughput/latency deltas are link noise, not code.
+
+    Falls back to ``link_floor_req_s`` (which the bounded compact bench
+    line carries even when ``link_up_MBps`` is dropped): at fixed request
+    bytes per mode, floor = link/bytes, so the floor ratio IS the link
+    ratio."""
+    for field in ('link_up_MBps', 'link_floor_req_s'):
+        if field in orow and field in nrow:
+            lo, ln = float(orow[field]), float(nrow[field])
+            return max(lo, ln) / max(min(lo, ln), 1e-9) > 1.5
+    return False
 
 
 def compare(old_rows, new_rows, tolerance: float):
@@ -146,10 +152,13 @@ def compare(old_rows, new_rows, tolerance: float):
             regressed = delta > tolerance if lower_better \
                 else delta < -tolerance
             if regressed and drift:
+                lo = orow.get('link_up_MBps',
+                              f'floor {orow.get("link_floor_req_s")}')
+                ln = nr.get('link_up_MBps',
+                            f'floor {nr.get("link_floor_req_s")}')
                 lines.append(f'  LINKDRIFT {key}{suffix}: {ov} -> {nv} '
                              f'{unit} ({delta:+.1%}) — uplink changed '
-                             f'{orow["link_up_MBps"]} -> '
-                             f'{nr["link_up_MBps"]} MB/s, not comparable')
+                             f'{lo} -> {ln} MB/s, not comparable')
                 continue
             arrow = 'REGRESS' if regressed else ('better ' if (
                 delta > 0) != lower_better and abs(delta) > 0.005
