@@ -134,6 +134,14 @@ class BigGAN(nn.Module):
         blocks = list(self.arch)
         n_chunks = len(blocks) + 1
         chunk = self.latent_dim // n_chunks
+        if chunk == 0 or chunk * n_chunks != self.latent_dim:
+            # a non-divisible dim_z would silently discard the trailing z
+            # dims (and dim_z < n_chunks would feed every block empty
+            # chunks — bias-only conditioning); fail loudly instead
+            raise ValueError(
+                f'dim_z={self.latent_dim} must be a positive multiple of '
+                f'{n_chunks} (one chunk for the first linear + one per '
+                f'block; published layout is 20 per chunk)')
         zs = [z[:, i * chunk:(i + 1) * chunk] for i in range(n_chunks)]
         shared = nn.Embed(self.num_classes, self.shared_dim,
                           name='shared_embedding')(labels)

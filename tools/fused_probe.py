@@ -90,14 +90,22 @@ def main():
                       f'{str(e).splitlines()[0][:200]}', flush=True)
                 continue
             results[thr] = (dt, chk)
-            base = results.get(0, (dt,))[0]
+            # the ratio needs the measured thr=0 baseline; falling back to
+            # this row's own dt would fabricate a "1.000x vs plain"
+            if 0 in results:
+                ratio = f'{results[0][0] / dt:.3f}x vs plain'
+            else:
+                ratio = 'no plain baseline'
             print(f'{mode} fused<={thr}: {dt * 1e3:.1f} ms/iter '
-                  f'({args.batch / dt:.1f} clips/s, {base / dt:.3f}x vs '
-                  f'plain) checksum={chk:.6g}', flush=True)
+                  f'({args.batch / dt:.1f} clips/s, {ratio}) '
+                  f'checksum={chk:.6g}', flush=True)
         if 0 in results:
+            # the checksum is a near-cancelling sum of ~5M signed random-
+            # init logits, so a purely relative tolerance can collapse to
+            # ~0; floor it at an absolute scale of per-element noise
+            tol = 3e-3 * abs(results[0][1]) + 1e-2
             for thr, (dt, chk) in results.items():
-                if thr and abs(chk - results[0][1]) > 3e-3 * abs(
-                        results[0][1]):
+                if thr and abs(chk - results[0][1]) > tol:
                     print(f'# WARNING {mode} fused<={thr} checksum drifts: '
                           f'{chk} vs {results[0][1]}', flush=True)
         del m, clip

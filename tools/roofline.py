@@ -101,11 +101,15 @@ def main():
             return 0.0, 0.0
 
     def stage_params(variables, lo, hi):
-        """Variable subtree for prefix stages lo..hi-1 (top-level names)."""
-        want = [p for ps in PIPELINE_STAGE_PREFIXES[lo:hi] for p in ps]
-        return {coll: {k: v for k, v in tree.items()
-                       if k.split('.')[0] in want}
-                for coll, tree in variables.items()}
+        """Variable subtree for prefix stages lo..hi-1 — merged from the
+        library's own stage partition so the stage->param mapping lives in
+        exactly one place (models/resnet3d.py split_stage_variables)."""
+        from pretorched_tpu.models.resnet3d import split_stage_variables
+        merged: dict = {}
+        for sub in split_stage_variables(variables)[lo:hi]:
+            for coll, tree in sub.items():
+                merged.setdefault(coll, {}).update(tree)
+        return merged
 
     def table(title, names, times, costs, batch):
         """costs: list of (flops, bytes) cumulative pairs. The roofline
@@ -219,7 +223,8 @@ def main():
                     flops.append(cost_flops(gstep, pb, clip))
                 break
             except Exception as e:
-                if 'RESOURCE_EXHAUSTED' not in str(e) or batch <= 8:
+                from bench import _is_oom   # all three OOM message forms
+                if not _is_oom(e) or batch <= 8:
                     raise
                 batch //= 2
                 clip = rand_batch(
